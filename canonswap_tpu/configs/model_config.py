@@ -1,0 +1,112 @@
+"""Model hyper-parameters — the equivalent of the reference's
+src/config/models.yaml:1-43, as typed dataclasses.
+
+A reduced "tiny" preset is provided for fast CPU tests (same topology,
+smaller widths); the "canonical" preset matches the shipped checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AppearanceConfig:
+    image_channel: int = 3
+    block_expansion: int = 64
+    num_down_blocks: int = 2
+    max_features: int = 512
+    reshape_channel: int = 32
+    reshape_depth: int = 16
+    num_resblocks: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    num_kp: int = 21
+    num_bins: int = 66
+    depths: tuple[int, ...] = (3, 3, 9, 3)
+    dims: tuple[int, ...] = (96, 192, 384, 768)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseMotionConfig:
+    block_expansion: int = 32
+    max_features: int = 1024
+    num_blocks: int = 5
+    reshape_depth: int = 16
+    compress: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class WarpingConfig:
+    num_kp: int = 21
+    block_expansion: int = 64
+    max_features: int = 512
+    num_down_blocks: int = 2
+    reshape_channel: int = 32
+    estimate_occlusion_map: bool = True
+    dense_motion: DenseMotionConfig = dataclasses.field(
+        default_factory=DenseMotionConfig
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpadeConfig:
+    upscale: int = 2  # 256x256 -> 512x512 pixel-shuffle head
+    block_expansion: int = 64
+    max_features: int = 512
+    num_down_blocks: int = 2
+    out_channels: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SwapConfig:
+    latent_dim: int = 512
+    n_blocks: int = 7  # adaptive 2D blocks (transfer_model2)
+    n_resblocks_3d: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchingConfig:
+    # (input_size, hidden_sizes, output_size) per sub-net, models.yaml:31-43
+    stitching: tuple = (126, (128, 128, 64), 65)
+    lip: tuple = (65, (128, 128, 64), 63)
+    eye: tuple = (66, (256, 256, 128, 128, 64), 63)
+
+
+@dataclasses.dataclass(frozen=True)
+class CanonSwapModelConfig:
+    appearance: AppearanceConfig = dataclasses.field(default_factory=AppearanceConfig)
+    motion: MotionConfig = dataclasses.field(default_factory=MotionConfig)
+    warping: WarpingConfig = dataclasses.field(default_factory=WarpingConfig)
+    spade: SpadeConfig = dataclasses.field(default_factory=SpadeConfig)
+    swap: SwapConfig = dataclasses.field(default_factory=SwapConfig)
+    stitching: StitchingConfig = dataclasses.field(default_factory=StitchingConfig)
+    input_size: int = 256  # model input crop
+    output_size: int = 512
+
+
+CANONICAL = CanonSwapModelConfig()
+
+# Small preset: same topology & depth counts, narrow widths, 64x64 inputs.
+# GroupNorm(32) in the refine module requires channel counts >= 32, so the
+# volume keeps C=32 but a shallower depth.
+TINY = CanonSwapModelConfig(
+    appearance=AppearanceConfig(
+        block_expansion=16, max_features=64, reshape_channel=8,
+        reshape_depth=8, num_resblocks=1,
+    ),
+    motion=MotionConfig(num_kp=5, depths=(1, 1, 2, 1), dims=(16, 24, 32, 48)),
+    warping=WarpingConfig(
+        num_kp=5, block_expansion=16, max_features=64, reshape_channel=8,
+        dense_motion=DenseMotionConfig(
+            block_expansion=8, max_features=64, num_blocks=2, reshape_depth=8,
+            compress=2,
+        ),
+    ),
+    spade=SpadeConfig(upscale=2, block_expansion=16, max_features=64, out_channels=16),
+    swap=SwapConfig(latent_dim=32, n_blocks=2, n_resblocks_3d=1),
+    input_size=64,
+    output_size=128,
+)

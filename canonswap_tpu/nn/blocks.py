@@ -1,0 +1,267 @@
+"""flax.linen building blocks (channels-last) for the CanonSwap model zoo.
+
+Functional re-designs of the reference blocks in src/modules/util.py:
+SameBlock2d, DownBlock2d/3d, UpBlock3d, ResBlock2d/3d, Hourglass (3D),
+SPADE / SPADEResnetBlock, GroupNorm leaky 3D resblocks.
+
+Conventions:
+  - images (N, H, W, C); volumes (N, D, H, W, C).
+  - BatchNorm runs in inference mode by default (running stats are part of the
+    converted checkpoint); pass ``train=True`` plus mutable batch_stats for
+    training.
+  - SPADE convs carry spectral norm *baked into the weights* at conversion
+    time (W / sigma_max(W)); for from-scratch training use
+    ``canonswap_tpu.nn.spectral.spectral_normalize`` on the fly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from canonswap_tpu.ops.resize import avg_pool, nearest_upsample
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=None,
+        )(x)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d, affine=False (torch default) for (N, H, W, C)."""
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class SameBlock2d(nn.Module):
+    """Conv -> BN -> ReLU/LeakyReLU, preserving resolution (util.py:193-211)."""
+
+    features: int
+    kernel: int = 3
+    lrelu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.leaky_relu(x, 0.01) if self.lrelu else nn.relu(x)
+
+
+class DownBlock2d(nn.Module):
+    """Conv -> BN -> ReLU -> AvgPool2x2 (util.py:150-166)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        return avg_pool(x, (2, 2))
+
+
+class DownBlock3d(nn.Module):
+    """Conv3d -> BN -> ReLU -> AvgPool(1,2,2) (util.py:169-190)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        return avg_pool(x, (1, 2, 2))
+
+
+class UpBlock3d(nn.Module):
+    """Nearest(1,2,2) -> Conv3d -> BN -> ReLU (util.py:130-147)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nearest_upsample(x, (1, 2, 2))
+        x = nn.Conv(self.features, (3, 3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class ResBlock2d(nn.Module):
+    """Pre-activation residual block: BN-LReLU-Conv x2 + skip (util.py:105-128)."""
+
+    negative_slope: float = 0.01
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        h = nn.leaky_relu(h, self.negative_slope)
+        h = nn.Conv(c, (self.kernel, self.kernel), padding="SAME")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = nn.leaky_relu(h, self.negative_slope)
+        h = nn.Conv(c, (self.kernel, self.kernel), padding="SAME")(h)
+        return x + h
+
+
+class ResBlock3d(nn.Module):
+    """Pre-activation 3D residual block: BN-ReLU-Conv x2 + skip (util.py:80-102)."""
+
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        k = (self.kernel,) * 3
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        h = nn.relu(h)
+        h = nn.Conv(c, k, padding="SAME")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = nn.relu(h)
+        h = nn.Conv(c, k, padding="SAME")(h)
+        return x + h
+
+
+class ResBlock3dLeakGN(nn.Module):
+    """Conv-GN32-LReLU x2 + 1x1-shortcut residual, post-activation
+    (ResBlock3D_stage3_leak, util.py:515-543). Used by the refine module."""
+
+    features: int
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        short = (
+            x
+            if cin == self.features
+            else nn.Conv(self.features, (1, 1, 1), padding="VALID", name="shortcut")(x)
+        )
+        h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv1")(x)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1")(h)
+        h = nn.leaky_relu(h, self.negative_slope)
+        h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv2")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn2")(h)
+        h = h + short
+        return nn.leaky_relu(h, self.negative_slope)
+
+
+class HourglassEncoder(nn.Module):
+    """3D hourglass encoder (util.py:214-231): returns all feature maps."""
+
+    block_expansion: int
+    num_blocks: int
+    max_features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = [x]
+        for i in range(self.num_blocks):
+            feats = min(self.max_features, self.block_expansion * (2 ** (i + 1)))
+            outs.append(DownBlock3d(feats, name=f"down{i}")(outs[-1], train))
+        return outs
+
+
+class HourglassDecoder(nn.Module):
+    """3D hourglass decoder with skip concat (util.py:234-264)."""
+
+    block_expansion: int
+    in_features: int
+    num_blocks: int
+    max_features: int
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        feats = list(feats)
+        out = feats.pop()
+        for j, i in enumerate(reversed(range(self.num_blocks))):
+            out_filters = min(self.max_features, self.block_expansion * (2**i))
+            out = UpBlock3d(out_filters, name=f"up{j}")(out, train)
+            out = jnp.concatenate([out, feats.pop()], axis=-1)
+        c = self.block_expansion + self.in_features
+        out = nn.Conv(c, (3, 3, 3), padding="SAME")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(out)
+        return nn.relu(out)
+
+
+class Hourglass(nn.Module):
+    """3D hourglass (util.py:267-279). out_filters = block_expansion + in_features."""
+
+    block_expansion: int
+    in_features: int
+    num_blocks: int
+    max_features: int
+
+    @property
+    def out_filters(self) -> int:
+        return self.block_expansion + self.in_features
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = HourglassEncoder(
+            self.block_expansion, self.num_blocks, self.max_features, name="encoder"
+        )(x, train)
+        return HourglassDecoder(
+            self.block_expansion, self.in_features, self.num_blocks,
+            self.max_features, name="decoder",
+        )(feats, train)
+
+
+class SPADE(nn.Module):
+    """Spatially-adaptive denorm (util.py:282-302).
+
+    The segmap here is the warped feature itself (64x64) and x is always an
+    integer multiple of it, so the nearest resize is an exact `repeat`.
+    """
+
+    @nn.compact
+    def __call__(self, x, segmap):
+        c = x.shape[-1]
+        normalized = instance_norm(x)
+        fh, fw = x.shape[1] // segmap.shape[1], x.shape[2] // segmap.shape[2]
+        seg = nearest_upsample(segmap, (fh, fw))
+        actv = nn.relu(nn.Conv(128, (3, 3), padding="SAME", name="mlp_shared")(seg))
+        gamma = nn.Conv(c, (3, 3), padding="SAME", name="mlp_gamma")(actv)
+        beta = nn.Conv(c, (3, 3), padding="SAME", name="mlp_beta")(actv)
+        return normalized * (1 + gamma) + beta
+
+
+class SPADEResnetBlock(nn.Module):
+    """SPADE residual block (util.py:305-344); spectral norm baked in weights."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self, x, seg):
+        fmiddle = min(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+        if learned_shortcut:
+            x_s = SPADE(name="norm_s")(x, seg)
+            x_s = nn.Conv(self.fout, (1, 1), use_bias=False, name="conv_s")(x_s)
+        else:
+            x_s = x
+        dx = SPADE(name="norm_0")(x, seg)
+        dx = nn.Conv(fmiddle, (3, 3), padding="SAME", name="conv_0")(
+            nn.leaky_relu(dx, 0.2)
+        )
+        dx = SPADE(name="norm_1")(dx, seg)
+        dx = nn.Conv(self.fout, (3, 3), padding="SAME", name="conv_1")(
+            nn.leaky_relu(dx, 0.2)
+        )
+        return x_s + dx

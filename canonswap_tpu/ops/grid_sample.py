@@ -1,0 +1,144 @@
+"""Trilinear / bilinear grid sampling (the warp primitive).
+
+TPU-native re-implementation of the sampling semantics the reference relies on
+(``F.grid_sample(..., align_corners=False)``, zero padding, trilinear/bilinear
+interpolation; see reference ``src/modules/warping_network.py:47`` and
+``src/modules/dense_motion.py:50``).
+
+Layout: channels-last.  Volumes are (B, D, H, W, C); 3D grids are
+(B, Do, Ho, Wo, 3) with grid[..., 0] = x (width axis), 1 = y (height),
+2 = z (depth), all normalized to [-1, 1].
+
+The jnp implementation below is the reference path; a fused Pallas kernel is
+provided in ``canonswap_tpu.ops.pallas.grid_sample`` and dispatched via
+``grid_sample_3d(..., impl=...)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
+    """Map [-1, 1] -> pixel coordinates, align_corners=False convention."""
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample_3d_ref(vol: jax.Array, grid: jax.Array) -> jax.Array:
+    """Pure-jnp trilinear grid sample with zero padding.
+
+    Args:
+      vol: (B, D, H, W, C) feature volume.
+      grid: (B, Do, Ho, Wo, 3) sample coordinates, xyz in [-1, 1].
+
+    Returns:
+      (B, Do, Ho, Wo, C) sampled features.
+    """
+    B, D, H, W, C = vol.shape
+    out_shape = grid.shape[:-1]
+
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+    z = _unnormalize(grid[..., 2], D)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    vol_flat = vol.reshape(B, D * H * W, C)
+
+    def corner(dz, dy, dx):
+        zi = z0i + dz
+        yi = y0i + dy
+        xi = x0i + dx
+        valid = (
+            (zi >= 0) & (zi < D) & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        )
+        zc = jnp.clip(zi, 0, D - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        flat = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
+        flat2 = flat.reshape(B, -1)
+        gathered = jnp.take_along_axis(vol_flat, flat2[..., None], axis=1)
+        gathered = gathered.reshape(*out_shape, C)
+        wz = jnp.where(dz == 1, fz, 1.0 - fz)
+        wy = jnp.where(dy == 1, fy, 1.0 - fy)
+        wx = jnp.where(dx == 1, fx, 1.0 - fx)
+        wgt = (wz * wy * wx) * valid.astype(vol.dtype)
+        return gathered * wgt[..., None]
+
+    out = corner(0, 0, 0)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                if (dz, dy, dx) == (0, 0, 0):
+                    continue
+                out = out + corner(dz, dy, dx)
+    return out
+
+
+def grid_sample_2d_ref(img: jax.Array, grid: jax.Array) -> jax.Array:
+    """Pure-jnp bilinear grid sample with zero padding, align_corners=False.
+
+    Args:
+      img: (B, H, W, C).
+      grid: (B, Ho, Wo, 2) with xy in [-1, 1].
+
+    Returns:
+      (B, Ho, Wo, C).
+    """
+    B, H, W, C = img.shape
+    out_shape = grid.shape[:-1]
+
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img_flat = img.reshape(B, H * W, C)
+
+    def corner(dy, dx):
+        yi = y0i + dy
+        xi = x0i + dx
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        flat = (yc * W + xc).reshape(B, -1)
+        gathered = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
+        gathered = gathered.reshape(*out_shape, C)
+        wy = jnp.where(dy == 1, fy, 1.0 - fy)
+        wx = jnp.where(dx == 1, fx, 1.0 - fx)
+        wgt = (wy * wx) * valid.astype(img.dtype)
+        return gathered * wgt[..., None]
+
+    return corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def grid_sample_3d(vol: jax.Array, grid: jax.Array, impl: str = "auto") -> jax.Array:
+    """Dispatching wrapper; ``impl`` in {"auto", "jnp", "pallas"}."""
+    if impl == "pallas":
+        from canonswap_tpu.ops.pallas.grid_sample import grid_sample_3d_pallas
+
+        return grid_sample_3d_pallas(vol, grid)
+    return grid_sample_3d_ref(vol, grid)
+
+
+@jax.jit
+def grid_sample_2d(img: jax.Array, grid: jax.Array) -> jax.Array:
+    return grid_sample_2d_ref(img, grid)

@@ -1,0 +1,106 @@
+"""Resizing / pooling / pixel-shuffle primitives (channels-last).
+
+Matches the torch semantics the reference depends on:
+  - ``F.interpolate(mode='nearest', scale_factor=k)`` for integer k == repeat
+    (UpBlock3d at util.py:143, SPADE segmap resize at util.py:297,
+    nn.Upsample(scale_factor=2) in the SPADE decoder).
+  - ``F.interpolate(mode='bilinear', align_corners=False)`` == half-pixel
+    mapping, which is what ``jax.image.resize(method='linear')`` implements
+    (Segformer logit upsample, can_swap_pipeline_e2e.py:183).
+  - ``nn.AvgPool2d/3d`` with 2x2 windows (DownBlock2d/3d).
+  - ``nn.PixelShuffle`` (SPADE decoder upscale head, spade_generator.py:36-39).
+  - ``F.adaptive_avg_pool2d`` to (7, 7) (ArcFace, models/arcface_models.py:122).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def nearest_upsample(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:
+    """Integer nearest-neighbour upsample over the spatial dims.
+
+    x: (N, *spatial, C); factors: one int per spatial dim.
+    """
+    for i, f in enumerate(factors):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=1 + i)
+    return x
+
+
+def bilinear_resize(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """(N, H, W, C) -> (N, size[0], size[1], C), half-pixel (align_corners=False)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="linear")
+
+
+def avg_pool(x: jax.Array, window: tuple[int, ...]) -> jax.Array:
+    """Average pool with stride == window over spatial dims of (N, *spatial, C)."""
+    dims = (1, *window, 1)
+    summed = lax.reduce_window(x, 0.0, lax.add, dims, dims, "VALID")
+    return summed / jnp.prod(jnp.array(window)).astype(x.dtype)
+
+
+def max_pool(x: jax.Array, window: tuple[int, ...]) -> jax.Array:
+    dims = (1, *window, 1)
+    return lax.reduce_window(x, -jnp.inf, lax.max, dims, dims, "VALID")
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """(N, H, W, C*r*r) -> (N, H*r, W*r, C), matching torch's PixelShuffle
+    channel ordering (out channel c reads input channel c*r*r + i*r + j)."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (N, H, r_i, W, r_j, C)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """torch F.adaptive_avg_pool2d for (N, H, W, C).
+
+    Implemented for the common case where H, W are divisible by the output
+    size (ArcFace: 14x14 -> 7x7); falls back to jax.image.resize-style mean
+    pooling via integral bins otherwise.
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        return avg_pool(x, (h // oh, w // ow))
+    # general torch semantics: bin i covers [floor(i*H/oh), ceil((i+1)*H/oh))
+    rows = [
+        jnp.mean(
+            x[:, (i * h) // oh : -((-(i + 1) * h) // oh), :, :], axis=1
+        )
+        for i in range(oh)
+    ]
+    x = jnp.stack(rows, axis=1)  # (N, oh, W, C)
+    cols = [
+        jnp.mean(
+            x[:, :, (j * w) // ow : -((-(j + 1) * w) // ow), :], axis=2
+        )
+        for j in range(ow)
+    ]
+    return jnp.stack(cols, axis=2)
+
+
+def volume_to_2d(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (B, H, W, C*D) with torch-compatible channel order.
+
+    torch does (B, C, D, H, W).view(B, C*D, H, W): flat channel k = c*D + d.
+    Our channels-last equivalent keeps that ordering so converted 2D conv
+    weights line up (used by warp_out, transfer blocks, and G3d).
+    """
+    b, d, h, w, c = x.shape
+    x = x.transpose(0, 2, 3, 4, 1)  # (B, H, W, C, D)
+    return x.reshape(b, h, w, c * d)
+
+
+def volume_from_2d(x: jax.Array, depth: int) -> jax.Array:
+    """Inverse of :func:`volume_to_2d`. (B, H, W, C*D) -> (B, D, H, W, C)."""
+    b, h, w, cd = x.shape
+    c = cd // depth
+    x = x.reshape(b, h, w, c, depth)
+    return x.transpose(0, 4, 1, 2, 3)

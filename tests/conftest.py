@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU answer to "test multi-chip without a cluster" — XLA's host
+platform is split into 8 virtual devices so Mesh/NamedSharding/pjit paths are
+exercised for real (collectives included), while numerics stay on CPU where
+torch (CPU) is available for parity checks.
+
+Note: this environment force-registers an ``axon`` TPU backend at interpreter
+start (sitecustomize sets jax_platforms="axon,cpu"), so we must override via
+``jax.config.update`` — the JAX_PLATFORMS env var alone is not enough.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
