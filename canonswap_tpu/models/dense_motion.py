@@ -1,0 +1,118 @@
+"""Dense motion network: sparse keypoint pairs -> dense 3D deformation field.
+
+Re-design of reference src/modules/dense_motion.py:13-104.  All stages are
+expressed batched/channels-last so XLA can fuse them:
+
+  compress (1x1x1 conv + BN + relu)
+  -> K+1 sparse motions from the identity grid          (pure arithmetic)
+  -> K+1 warped copies of the compressed volume         (ops.grid_sample_3d)
+  -> gaussian heatmap difference                        (ops.kp2gaussian)
+  -> 3D hourglass over the (K+1)*(C+1)-channel stack
+  -> softmax mask combine -> deformation (B, D, H, W, 3)
+  -> occlusion head on the depth-flattened prediction -> (B, H, W, 1)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from canonswap_tpu.configs.model_config import DenseMotionConfig
+from canonswap_tpu.nn.blocks import Hourglass
+from canonswap_tpu.ops.grid_sample import grid_sample_3d_ref
+from canonswap_tpu.ops.heatmap import kp2gaussian, make_coordinate_grid_3d
+from canonswap_tpu.ops.resize import volume_to_2d
+
+
+def create_sparse_motions(
+    shape_dhw: tuple[int, int, int], kp_driving: jax.Array, kp_source: jax.Array
+) -> jax.Array:
+    """(B, K, 3) kp pairs -> (B, K+1, D, H, W, 3) sample grids.
+
+    Entry 0 is the identity grid (background); entry k+1 warps toward
+    kp_source[k] - kp_driving[k] (reference dense_motion.py:29-43).
+    """
+    b, k, _ = kp_driving.shape
+    grid = make_coordinate_grid_3d(shape_dhw, kp_driving.dtype)  # (D,H,W,3)
+    identity = jnp.broadcast_to(grid[None, None], (b, 1, *shape_dhw, 3))
+    shift = (kp_source - kp_driving)[:, :, None, None, None, :]
+    driving_to_source = grid[None, None] + shift  # (B, K, D, H, W, 3)
+    return jnp.concatenate([identity, driving_to_source], axis=1)
+
+
+def create_deformed_feature(
+    feature: jax.Array, sparse_motions: jax.Array
+) -> jax.Array:
+    """Warp ``feature`` (B, D, H, W, C) by each of the K+1 motions.
+
+    Returns (B, K+1, D, H, W, C)."""
+    b, kp1 = sparse_motions.shape[:2]
+    d, h, w, c = feature.shape[1:]
+    feat_rep = jnp.broadcast_to(
+        feature[:, None], (b, kp1, d, h, w, c)
+    ).reshape(b * kp1, d, h, w, c)
+    grids = sparse_motions.reshape(b * kp1, d, h, w, 3)
+    warped = grid_sample_3d_ref(feat_rep, grids)
+    return warped.reshape(b, kp1, d, h, w, c)
+
+
+class DenseMotionNetwork(nn.Module):
+    cfg: DenseMotionConfig = DenseMotionConfig()
+    num_kp: int = 21
+    estimate_occlusion_map: bool = True
+
+    @nn.compact
+    def __call__(self, feature, kp_driving, kp_source, train: bool = False):
+        """feature: (B, D, H, W, C); kp_*: (B, K, 3).
+
+        Returns dict(deformation=(B, D, H, W, 3), occlusion_map=(B, H, W, 1),
+        mask=(B, D, H, W, K+1)).
+        """
+        c = self.cfg
+        b, d, h, w, _ = feature.shape
+        k = self.num_kp
+
+        x = nn.Conv(c.compress, (1, 1, 1), name="compress")(feature)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="norm")(x)
+        x = nn.relu(x)
+
+        sparse_motion = create_sparse_motions((d, h, w), kp_driving, kp_source)
+        deformed = create_deformed_feature(x, sparse_motion)  # (B,K+1,D,H,W,Cc)
+
+        g_drv = kp2gaussian(kp_driving, (d, h, w), 0.01)
+        g_src = kp2gaussian(kp_source, (d, h, w), 0.01)
+        heat = g_drv - g_src  # (B, K, D, H, W)
+        heat = jnp.concatenate(
+            [jnp.zeros_like(heat[:, :1]), heat], axis=1
+        )  # (B, K+1, D, H, W)
+
+        # stack [heatmap, deformed] per kp; flat channel = kp*(Cc+1)+c to stay
+        # compatible with the torch cat/view (dense_motion.py:83-84)
+        heat_last = heat.transpose(0, 2, 3, 4, 1)[..., None]  # (B,D,H,W,K+1,1)
+        def_last = jnp.moveaxis(deformed, 1, 4)  # (B,D,H,W,K+1,Cc)
+        stacked = jnp.concatenate([heat_last, def_last], axis=-1)
+        # stacked: (B, D, H, W, K+1, Cc+1) -> (B, D, H, W, (K+1)*(Cc+1))
+        hg_in = stacked.reshape(b, d, h, w, -1)
+
+        prediction = Hourglass(
+            block_expansion=c.block_expansion,
+            in_features=(k + 1) * (c.compress + 1),
+            num_blocks=c.num_blocks,
+            max_features=c.max_features,
+            name="hourglass",
+        )(hg_in, train)
+
+        mask = nn.Conv(k + 1, (7, 7, 7), padding="SAME", name="mask")(prediction)
+        mask = jax.nn.softmax(mask, axis=-1)  # (B, D, H, W, K+1)
+        deformation = jnp.einsum(
+            "bkdhwc,bdhwk->bdhwc", sparse_motion, mask
+        )
+
+        out = {"deformation": deformation, "mask": mask}
+        if self.estimate_occlusion_map:
+            pred2d = volume_to_2d(prediction)  # (B, H, W, F*D), torch order
+            occ = nn.Conv(1, (7, 7), padding="SAME", name="occlusion")(pred2d)
+            out["occlusion_map"] = jax.nn.sigmoid(occ)
+        return out

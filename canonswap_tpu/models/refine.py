@@ -1,0 +1,29 @@
+"""Post-swap 3D refine module (the reference's ``G3d``,
+src/modules/adaptive_modulate.py:700-733): 3x GroupNorm-leaky 3D resblocks ->
+depth-flattened 2D resblocks -> 3x 3D resblocks.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from canonswap_tpu.nn.blocks import ResBlock2d, ResBlock3dLeakGN
+from canonswap_tpu.ops.resize import volume_from_2d, volume_to_2d
+
+
+class RefineModule(nn.Module):
+    @nn.compact
+    def __call__(self, volume, train: bool = False):
+        """(B, D, H, W, C) -> (B, D, H, W, C)."""
+        c = volume.shape[-1]
+        d = volume.shape[1]
+        x = volume
+        for i in range(3):
+            x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}")(x)
+        x = volume_to_2d(x)
+        for i in range(3):
+            x = ResBlock2d(name=f"res2d_{i}")(x, train)
+        x = volume_from_2d(x, d)
+        for i in range(3):
+            x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}")(x)
+        return x

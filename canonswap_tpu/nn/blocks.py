@@ -147,16 +147,17 @@ class ResBlock3dLeakGN(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
+        groups = min(32, self.features)  # 32 for canonical widths
         short = (
             x
             if cin == self.features
             else nn.Conv(self.features, (1, 1, 1), padding="VALID", name="shortcut")(x)
         )
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv1")(x)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1")(h)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn1")(h)
         h = nn.leaky_relu(h, self.negative_slope)
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv2")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn2")(h)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn2")(h)
         h = h + short
         return nn.leaky_relu(h, self.negative_slope)
 

@@ -72,7 +72,9 @@ class ConvNeXtV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dp_rates = jnp.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        import numpy as np
+
+        dp_rates = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
         cur = 0
         for i in range(4):
             if i == 0:

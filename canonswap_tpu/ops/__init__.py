@@ -19,6 +19,7 @@ from canonswap_tpu.ops.resize import (
     avg_pool,
     bilinear_resize,
     max_pool,
+    nearest_resize,
     nearest_upsample,
     pixel_shuffle,
     volume_from_2d,
@@ -42,6 +43,7 @@ __all__ = [
     "avg_pool",
     "bilinear_resize",
     "max_pool",
+    "nearest_resize",
     "nearest_upsample",
     "pixel_shuffle",
     "volume_from_2d",

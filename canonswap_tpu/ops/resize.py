@@ -30,6 +30,16 @@ def nearest_upsample(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:
     return x
 
 
+def nearest_resize(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """torch ``F.interpolate(mode='nearest')`` for (N, H, W, C): floor mapping
+    src_idx = floor(dst_idx * in/out)."""
+    n, h, w, c = x.shape
+    oh, ow = size
+    rows = (jnp.arange(oh) * h // oh).astype(jnp.int32)
+    cols = (jnp.arange(ow) * w // ow).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
 def bilinear_resize(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """(N, H, W, C) -> (N, size[0], size[1], C), half-pixel (align_corners=False)."""
     n, _, _, c = x.shape

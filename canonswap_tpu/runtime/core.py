@@ -1,0 +1,205 @@
+"""The CanonSwap core runtime: all six generative networks behind jitted,
+batched, TPU-shaped entry points.
+
+This is the TPU-native equivalent of the reference's ``can_swapper``
+(src/can_swap_e2e.py:39-348) — but where the reference runs six separate
+module calls per frame in a Python loop, here the whole per-frame compute
+(F -> warp-to-canonical -> identity swap -> refine -> warp-back -> SPADE
+decode) is ONE jitted XLA program over a frame *batch*.
+
+Checkpoint param-tree keys mirror the reference checkpoint layout
+(can_swap_e2e.py:93-98): appearance_feature_extractor, motion_extractor,
+warping_module, spade_generator, transfer, refine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from canonswap_tpu.configs.model_config import CanonSwapModelConfig, CANONICAL
+from canonswap_tpu.models.appearance import AppearanceFeatureExtractor
+from canonswap_tpu.models.motion import MotionExtractor, refine_kp_info
+from canonswap_tpu.models.refine import RefineModule
+from canonswap_tpu.models.spade_decoder import SPADEDecoder
+from canonswap_tpu.models.swap import SwapModule
+from canonswap_tpu.models.warping import WarpingNetwork
+from canonswap_tpu.ops.pose import transform_keypoint
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CanonSwapCore:
+    """Bundle of module definitions (hashable; safe as a jit static arg)."""
+
+    cfg: CanonSwapModelConfig = CANONICAL
+
+    @functools.cached_property
+    def appearance(self) -> AppearanceFeatureExtractor:
+        return AppearanceFeatureExtractor(self.cfg.appearance)
+
+    @functools.cached_property
+    def motion(self) -> MotionExtractor:
+        return MotionExtractor(self.cfg.motion)
+
+    @functools.cached_property
+    def warping(self) -> WarpingNetwork:
+        return WarpingNetwork(self.cfg.warping)
+
+    @functools.cached_property
+    def spade(self) -> SPADEDecoder:
+        return SPADEDecoder(self.cfg.spade)
+
+    @functools.cached_property
+    def swap(self) -> SwapModule:
+        return SwapModule(self.cfg.swap)
+
+    @functools.cached_property
+    def refine(self) -> RefineModule:
+        return RefineModule()
+
+    def init_params(self, rng: jax.Array) -> Params:
+        """Random-init the full parameter tree (converted checkpoints replace
+        this; keys mirror combined_weights.pth)."""
+        s = self.cfg.input_size
+        d = self.cfg.appearance.reshape_depth
+        c = self.cfg.appearance.reshape_channel
+        hw = s // (2**self.cfg.appearance.num_down_blocks)
+        k = self.cfg.motion.num_kp
+        keys = jax.random.split(rng, 6)
+        img = jnp.zeros((1, s, s, 3))
+        vol = jnp.zeros((1, d, hw, hw, c))
+        kp = jnp.zeros((1, k, 3))
+        latent = jnp.zeros((1, self.cfg.swap.latent_dim))
+        feat2d = jnp.zeros(
+            (1, hw, hw,
+             self.cfg.warping.block_expansion * 2**self.cfg.warping.num_down_blocks)
+        )
+        return {
+            "appearance_feature_extractor": self.appearance.init(keys[0], img),
+            "motion_extractor": self.motion.init(keys[1], img),
+            "warping_module": self.warping.init(keys[2], vol, kp, kp),
+            "spade_generator": self.spade.init(keys[3], feat2d),
+            "transfer": self.swap.init(keys[4], vol, latent),
+            "refine": self.refine.init(keys[5], vol),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Pure stage functions (core is static; params/arrays are traced).
+# ---------------------------------------------------------------------------
+
+
+def extract_motion(core: CanonSwapCore, params: Params, frames: jax.Array) -> dict:
+    """Batched motion template: frames (B, S, S, 3) in [0,1] -> motion dict.
+
+    Equivalent to the reference's per-frame make_motion_template loop
+    (can_swap_pipeline_e2e.py:101-135) in one batched M pass. Returns dict
+    with kp/exp (B,K,3), pitch/yaw/roll (B,1) degrees, t (B,3), scale (B,1),
+    and x_t (B,K,3) the posed keypoints.
+    """
+    raw = core.motion.apply(params["motion_extractor"], frames)
+    info = refine_kp_info(raw)
+    x_t = transform_keypoint(
+        info["kp"], info["pitch"][:, 0], info["yaw"][:, 0], info["roll"][:, 0],
+        info["t"], info["exp"], info["scale"],
+    )
+    info["x_t"] = x_t
+    return info
+
+
+def appearance_features(core: CanonSwapCore, params: Params, frames: jax.Array):
+    """frames (B, S, S, 3) -> feature volume (B, D, S/4, S/4, C)."""
+    return core.appearance.apply(params["appearance_feature_extractor"], frames)
+
+
+def warp_to_canonical(core, params, f_s, x_t, x_can):
+    """Posed volume -> canonical volume (+ occlusion map).
+
+    Mirrors warping_module.warp(f_s, kp_source=x_t, kp_driving=x_can)
+    (can_swap_pipeline_e2e.py:244)."""
+    warped, occ, _ = core.warping.apply(
+        params["warping_module"], f_s, kp_driving=x_can, kp_source=x_t,
+        method="warp",
+    )
+    return warped, occ
+
+
+def inject_identity(core, params, f_can, source_id):
+    """Canonical-space identity swap (transfer module)."""
+    return core.swap.apply(params["transfer"], f_can, source_id)
+
+
+def refine_volume(core, params, f_swap):
+    return core.refine.apply(params["refine"], f_swap)
+
+
+def warp_decode(core, params, volume, x_can, x_t):
+    """Canonical volume -> posed decode -> image (can_swap_e2e.py:286-308)."""
+    ret = core.warping.apply(
+        params["warping_module"], volume, kp_driving=x_t, kp_source=x_can
+    )
+    return core.spade.apply(params["spade_generator"], ret["out"])
+
+
+def conv_decode(core, params, volume, occlusion_map=None):
+    """Decode a volume without re-warping (reference conv_decode,
+    can_swap_e2e.py:309-312) — used for canonical-space debug frames and the
+    v2i swap-once path."""
+    out = core.warping.apply(
+        params["warping_module"], volume, occlusion_map, method="warp_out"
+    )
+    return core.spade.apply(params["spade_generator"], out)
+
+
+def swap_step(
+    core: CanonSwapCore,
+    params: Params,
+    frames: jax.Array,
+    source_id: jax.Array,
+    motion: dict,
+    *,
+    with_debug: bool = False,
+):
+    """The full per-frame-batch face-swap program (one XLA computation).
+
+    Equivalent of the reference hot loop body (can_swap_pipeline_e2e.py:
+    223-283): F -> warp-to-canonical -> swap -> refine -> warp-back+decode.
+
+    Args:
+      frames: (B, S, S, 3) target crops in [0, 1].
+      source_id: (1 or B, 512) L2-normalized ID embedding.
+      motion: dict with 'kp', 'scale', 'x_t' for these frames.
+      with_debug: also decode canonical reconstruction + canonical swap
+        (the reference's debug strips).
+
+    Returns dict(out=(B, 2S, 2S, 3) swapped images [, rec_can, swap_can]).
+    """
+    if source_id.shape[0] == 1 and frames.shape[0] != 1:
+        source_id = jnp.broadcast_to(
+            source_id, (frames.shape[0], source_id.shape[1])
+        )
+    f_s = appearance_features(core, params, frames)
+    x_can = motion["scale"][..., None] * motion["kp"]
+    x_t = motion["x_t"]
+    f_can, occ = warp_to_canonical(core, params, f_s, x_t, x_can)
+    f_swap = inject_identity(core, params, f_can, source_id)
+    out = {}
+    if with_debug:
+        out["rec_can"] = conv_decode(core, params, f_can, occ)
+        out["swap_can"] = conv_decode(core, params, f_swap, occ)
+    f_swap = refine_volume(core, params, f_swap)
+    out["out"] = warp_decode(core, params, f_swap, x_can, x_t)
+    return out
+
+
+# Jitted wrappers -----------------------------------------------------------
+
+swap_step_jit = jax.jit(swap_step, static_argnums=0, static_argnames=("with_debug",))
+extract_motion_jit = jax.jit(extract_motion, static_argnums=0)
+appearance_features_jit = jax.jit(appearance_features, static_argnums=0)

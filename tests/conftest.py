@@ -11,6 +11,9 @@ start (sitecustomize sets jax_platforms="axon,cpu"), so we must override via
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
