@@ -1,0 +1,101 @@
+"""Pipeline configuration dataclasses.
+
+Same three-way split as the reference (SURVEY.md §5 config system):
+``ArgumentConfig`` = the CLI surface, ``InferenceConfig`` = runtime flags,
+``CropConfig`` = detector/crop geometry (reference src/config/*.py), plus
+``partial_fields`` to project CLI args into the other two.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Optional
+
+
+@dataclasses.dataclass
+class ArgumentConfig:
+    """CLI surface (reference argument_config.py:14-55)."""
+
+    source: str = ""  # path to the source portrait (identity donor)
+    driving: str = ""  # path to the target video/image (or .pkl template)
+    output_dir: str = "results/"
+
+    # inference flags
+    flag_use_half_precision: bool = True  # bf16 on TPU
+    flag_crop_driving_video: bool = True
+    flag_normalize_lip: bool = False
+    flag_eye_retargeting: bool = False
+    flag_lip_retargeting: bool = False
+    flag_stitching: bool = False
+    flag_relative_motion: bool = False
+    flag_pasteback: bool = True
+    flag_do_crop: bool = True
+    audio_priority: Literal["source", "driving"] = "driving"
+
+    # source crop args
+    det_thresh: float = 0.15
+    scale: float = 2.3
+    vx_ratio: float = 0.0
+    vy_ratio: float = -0.125
+    flag_do_rot: bool = True
+    source_max_dim: int = 4096
+    source_division: int = 2
+
+    # driving crop args
+    scale_crop_driving_video: float = 2.2
+    vx_ratio_crop_driving_video: float = 0.0
+    vy_ratio_crop_driving_video: float = -0.1
+
+    # TPU-specific
+    batch_size: int = 8  # frame batch per device step
+    checkpoint: Optional[str] = None  # combined_weights.pth (torch) to convert
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    """Runtime configuration (reference inference_config.py:19-69)."""
+
+    flag_use_half_precision: bool = True
+    flag_crop_driving_video: bool = False
+    flag_normalize_lip: bool = True
+    flag_eye_retargeting: bool = False
+    flag_lip_retargeting: bool = False
+    flag_stitching: bool = True
+    flag_relative_motion: bool = False
+    flag_pasteback: bool = True
+    flag_do_crop: bool = True
+    flag_do_rot: bool = True
+
+    source_max_dim: int = 1280
+    source_division: int = 2
+    input_shape: tuple[int, int] = (256, 256)
+    output_format: Literal["mp4", "gif"] = "mp4"
+    crf: int = 15
+    output_fps: int = 25
+
+    batch_size: int = 8
+    checkpoint: Optional[str] = None
+
+
+@dataclasses.dataclass
+class CropConfig:
+    """Crop geometry (reference crop_config.py:13-33)."""
+
+    det_thresh: float = 0.1
+    dsize: int = 512
+    scale: float = 2.3
+    vx_ratio: float = 0.0
+    vy_ratio: float = -0.125
+    max_face_num: int = 0
+    flag_do_rot: bool = True
+    scale_crop_driving_video: float = 2.2
+    vx_ratio_crop_driving_video: float = 0.0
+    vy_ratio_crop_driving_video: float = -0.1
+    direction: str = "large-small"
+
+
+def partial_fields(target_class, kwargs: dict):
+    """Project matching fields of a source dict into a config dataclass
+    (reference inference_canswap.py:14-15)."""
+    names = {f.name for f in dataclasses.fields(target_class)}
+    return target_class(**{k: v for k, v in kwargs.items() if k in names})

@@ -1,0 +1,125 @@
+"""Crop orchestration with frame-to-frame landmark tracking.
+
+Equivalent of the reference Cropper (src/utils/cropper.py:43-369): frame 0
+runs detection + 106-pt landmarks, every frame is refined by the 203-pt
+landmark net tracking from the previous frame's landmarks, then the eye-lip
+similarity crop is applied.  The per-face-miss policy (reuse last landmark =
+built-in tracking recovery, cropper.py:190) is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import cv2
+import numpy as np
+
+from canonswap_tpu.configs.pipeline_config import CropConfig
+from canonswap_tpu.models.landmark import Landmark203Runner
+from canonswap_tpu.runtime.face_analysis import FaceAnalysis
+from canonswap_tpu.utils import geometry as G
+
+
+@dataclasses.dataclass
+class Trajectory:
+    start: int = -1
+    end: int = -1
+    lmk_lst: list = dataclasses.field(default_factory=list)
+    lmk_crop_lst: list = dataclasses.field(default_factory=list)
+    frame_rgb_crop_lst: list = dataclasses.field(default_factory=list)
+    M_c2o_lst: list = dataclasses.field(default_factory=list)
+    M_o2c_lst: list = dataclasses.field(default_factory=list)
+
+
+class Cropper:
+    def __init__(
+        self,
+        crop_cfg: CropConfig,
+        face_analysis: FaceAnalysis,
+        landmark_runner: Landmark203Runner,
+    ):
+        self.crop_cfg = crop_cfg
+        self.face_analysis = face_analysis
+        self.landmark_runner = landmark_runner
+
+    def _detect_lmk(self, frame_rgb: np.ndarray):
+        faces = self.face_analysis.get(
+            frame_rgb,
+            flag_do_landmark_2d_106=True,
+            direction=self.crop_cfg.direction,
+            max_face_num=self.crop_cfg.max_face_num,
+        )
+        if not faces:
+            return None
+        return faces[0].landmark_2d_106
+
+    def crop_source_image(self, img_rgb: np.ndarray, lmk=None):
+        """Single-image crop (cropper.py:95-164). Returns None if no face."""
+        cfg = self.crop_cfg
+        if lmk is None:
+            lmk = self._detect_lmk(img_rgb)
+            if lmk is None:
+                return None
+        ret = G.crop_image(
+            img_rgb, lmk, dsize=cfg.dsize, scale=cfg.scale,
+            vy_ratio=cfg.vy_ratio, flag_do_rot=cfg.flag_do_rot,
+        )
+        ret["img_crop_256x256"] = cv2.resize(
+            ret["img_crop"], (256, 256), interpolation=cv2.INTER_AREA
+        )
+        lmk = self.landmark_runner.run(img_rgb, lmk)
+        ret["lmk_crop"] = lmk
+        ret["lmk_crop_256x256"] = ret["lmk_crop"] * 256 / cfg.dsize
+        return ret
+
+    def crop_source_video(self, frames_rgb, crop_cfg: CropConfig | None = None):
+        """Tracking crop over a frame sequence (cropper.py:167-222)."""
+        cfg = crop_cfg or self.crop_cfg
+        traj = Trajectory()
+        for idx, frame in enumerate(frames_rgb):
+            if idx == 0 or traj.start == -1:
+                lmk106 = self._detect_lmk(frame)
+                if lmk106 is None:
+                    continue
+                lmk = self.landmark_runner.run(frame, lmk106)
+                traj.start, traj.end = idx, idx
+            else:
+                lmk = self.landmark_runner.run(frame, traj.lmk_lst[-1])
+                traj.end = idx
+            traj.lmk_lst.append(lmk)
+
+            ret = G.crop_image(
+                frame, lmk, dsize=cfg.dsize, scale=cfg.scale,
+                vy_ratio=cfg.vy_ratio, flag_do_rot=cfg.flag_do_rot,
+            )
+            crop256 = cv2.resize(
+                ret["img_crop"], (256, 256), interpolation=cv2.INTER_AREA
+            )
+            traj.frame_rgb_crop_lst.append(crop256)
+            traj.lmk_crop_lst.append(lmk * 256 / cfg.dsize)
+            traj.M_c2o_lst.append(ret["M_c2o"])
+            traj.M_o2c_lst.append(ret["M_o2c"])
+
+        return {
+            "frame_crop_lst": traj.frame_rgb_crop_lst,
+            "lmk_crop_lst": traj.lmk_crop_lst,
+            "M_c2o_lst": traj.M_c2o_lst,
+            "M_o2c_lst": traj.M_o2c_lst,
+        }
+
+    def calc_lmks_from_cropped_video(self, frames_rgb):
+        """Landmark tracking only (cropper.py:343-369); raises on frame-0
+        detection failure like the reference."""
+        traj = Trajectory()
+        for idx, frame in enumerate(frames_rgb):
+            if idx == 0 or traj.start == -1:
+                lmk106 = self._detect_lmk(frame)
+                if lmk106 is None:
+                    raise RuntimeError(f"No face detected in the frame #{idx}")
+                lmk = self.landmark_runner.run(frame, lmk106)
+                traj.start, traj.end = idx, idx
+            else:
+                lmk = self.landmark_runner.run(frame, traj.lmk_lst[-1])
+                traj.end = idx
+            traj.lmk_lst.append(lmk)
+        return traj.lmk_lst
