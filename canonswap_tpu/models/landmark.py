@@ -75,8 +75,8 @@ class Landmark106Runner:
 
     input_size = 192
 
-    def __init__(self, params=None, rng=None):
-        self.net = LandmarkNet(num_points=106)
+    def __init__(self, params=None, rng=None, widths=(32, 64, 128, 256)):
+        self.net = LandmarkNet(num_points=106, widths=tuple(widths))
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             params = self.net.init(
@@ -113,8 +113,8 @@ class Landmark203Runner:
 
     input_size = 224
 
-    def __init__(self, params=None, rng=None):
-        self.net = LandmarkNet(num_points=203)
+    def __init__(self, params=None, rng=None, widths=(32, 64, 128, 256)):
+        self.net = LandmarkNet(num_points=203, widths=tuple(widths))
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(1)
             params = self.net.init(

@@ -1,0 +1,152 @@
+"""FaceSwapSession: builds every component of the swap stack once.
+
+Equivalent of the reference CanSwapPipeline.__init__
+(can_swap_pipeline_e2e.py:39-57): generator core + cropper (detector &
+landmark runners) + face parsing + ID cropper + ArcFace, with jitted batched
+entry points and a checkpoint-conversion path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from canonswap_tpu.configs.model_config import CANONICAL, CanonSwapModelConfig
+from canonswap_tpu.configs.pipeline_config import CropConfig, InferenceConfig
+from canonswap_tpu.models import parsing as P
+from canonswap_tpu.models.arcface import ArcFaceResNet
+from canonswap_tpu.models.landmark import Landmark106Runner, Landmark203Runner
+from canonswap_tpu.ops import affine as AF
+from canonswap_tpu.runtime import core as C
+from canonswap_tpu.runtime.cropper import Cropper
+from canonswap_tpu.runtime.face_analysis import FaceAnalysis, FaceIDCropper
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class FaceSwapSession:
+    def __init__(
+        self,
+        inference_cfg: InferenceConfig | None = None,
+        crop_cfg: CropConfig | None = None,
+        model_cfg: CanonSwapModelConfig = CANONICAL,
+        rng: jax.Array | None = None,
+        det_size: tuple[int, int] = (512, 512),
+        arcface_layers: tuple[int, int, int, int] = (3, 4, 23, 3),
+        parsing_cfg: P.SegformerConfig | None = None,
+        landmark_widths: tuple[int, ...] = (32, 64, 128, 256),
+    ):
+        self.inference_cfg = inference_cfg or InferenceConfig()
+        self.crop_cfg = crop_cfg or CropConfig()
+        self.model_cfg = model_cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, 8)
+
+        # generator core
+        self.core = C.CanonSwapCore(model_cfg)
+        self.params = self.core.init_params(keys[0])
+        if self.inference_cfg.checkpoint:
+            self.load_checkpoint(self.inference_cfg.checkpoint)
+
+        # perception stack
+        self.face_analysis = FaceAnalysis(
+            det_thresh=self.crop_cfg.det_thresh, det_size=det_size, rng=keys[1]
+        )
+        self.landmark203 = Landmark203Runner(rng=keys[2], widths=landmark_widths)
+        self.lmk106 = Landmark106Runner(rng=keys[3], widths=landmark_widths)
+        self.face_analysis.lmk106 = self.lmk106
+        self.cropper = Cropper(
+            self.crop_cfg, self.face_analysis, self.landmark203,
+            network_input_size=model_cfg.input_size,
+        )
+        self.id_cropper = FaceIDCropper(self.face_analysis)
+
+        # face parsing
+        self.parsing = P.Segformer(parsing_cfg or P.SegformerConfig())
+        self.parsing_params = self.parsing.init(
+            keys[4], jnp.zeros((1, model_cfg.input_size, model_cfg.input_size, 3))
+        )
+        self._parse = jax.jit(self.parsing.apply)
+
+        # ArcFace ID encoder
+        self.arcface = ArcFaceResNet(layers=arcface_layers)
+        self.arcface_params = self.arcface.init(
+            keys[5], jnp.zeros((1, 112, 112, 3))
+        )
+        self._arcface_apply = jax.jit(self.arcface.apply)
+
+        # jitted batched stages
+        self._extract_motion = C.extract_motion_jit
+        self._swap_step = C.swap_step_jit
+        self._soft_erosion = jax.jit(
+            functools.partial(
+                AF.soft_erosion, kernel_size=21, threshold=0.9, iterations=3
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoint
+    # ------------------------------------------------------------------
+
+    def load_checkpoint(self, path: str):
+        """Convert + load a torch combined_weights.pth (or a pre-converted
+        .npz/.msgpack produced by our tools)."""
+        from canonswap_tpu.runtime import weights as W
+
+        converted = W.load_torch_checkpoint(path)
+        for k, v in converted.items():
+            self.params[k] = jax.tree.map(jnp.asarray, v)
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def get_source_id(self, source_rgb: np.ndarray) -> jax.Array:
+        """Source image -> (1, 512) L2-normalized ID embedding
+        (get_source_id, can_swap_pipeline_e2e.py:90-99)."""
+        got = self.id_cropper.get_single(source_rgb, crop_size=112, max_num=1)
+        if got is None:
+            raise RuntimeError("No face detected in the source image.")
+        crop = got[0][0].astype(np.float32) / 255.0
+        crop = (crop - IMAGENET_MEAN) / IMAGENET_STD
+        emb, _ = self._arcface_apply(
+            self.arcface_params, jnp.asarray(crop)[None]
+        )
+        ld = self.model_cfg.swap.latent_dim
+        if emb.shape[-1] != ld:  # reduced test configs only
+            emb = emb[..., :ld]
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def parse_masks(self, crops256: np.ndarray) -> jax.Array:
+        """(B, S, S, 3) uint8 -> (B, 2S, 2S, 1) feathered swap masks at the
+        output resolution (parsing loop + SoftErosion,
+        can_swap_pipeline_e2e.py:177-191, 275)."""
+        out = self.model_cfg.output_size
+        x = P.preprocess(jnp.asarray(crops256))
+        logits = self._parse(self.parsing_params, x)
+        mask = P.face_mask_from_logits(logits, (out, out))
+        soft, _ = self._soft_erosion(mask)
+        return soft
+
+    def motion_template(self, frames01: jax.Array) -> dict:
+        """Batched motion template over prepared frames (B, S, S, 3) in [0,1]."""
+        return self._extract_motion(self.core, self.params, frames01)
+
+    def swap_batch(
+        self, frames01: jax.Array, source_id: jax.Array, motion: dict,
+        with_debug: bool = False,
+    ) -> dict:
+        return self._swap_step(
+            self.core, self.params, frames01, source_id, motion,
+            with_debug=with_debug,
+        )
+
+    @staticmethod
+    def prepare_frames(frames_uint8: np.ndarray) -> jax.Array:
+        """uint8 (B, S, S, 3) -> float [0,1] device array (prepare_videos
+        equivalent, can_swap_e2e.py:147-163)."""
+        return jnp.asarray(frames_uint8.astype(np.float32) / 255.0)

@@ -198,8 +198,41 @@ def swap_step(
     return out
 
 
+def reanimate_step(
+    core: CanonSwapCore,
+    params: Params,
+    volume: jax.Array,
+    x_swap: jax.Array,
+    kp_swap: jax.Array,
+    rot_swap: jax.Array,
+    t_swap: jax.Array,
+    scale_swap: jax.Array,
+    delta_t: jax.Array,
+):
+    """v2i per-frame-batch program (can_swap_pipeline_v2i.py:260-309):
+    a fixed swapped canonical volume re-animated by driving expressions.
+
+    x_t_2 = scale_swap * (kp_swap @ R_swap + delta_t) + t_swap_xy, then
+    warp_decode(volume, kp_source=x_swap, kp_driving=x_t_2).
+
+    Args:
+      volume: (1, D, H, W, C) swapped canonical features (constant per video —
+        the reference recomputed it per frame; hoisted here).
+      x_swap/kp_swap: (1, K, 3); rot_swap: (1, 3, 3); t_swap: (1, 3);
+      scale_swap: (1, 1); delta_t: (B, K, 3) driving expression deltas.
+    """
+    b = delta_t.shape[0]
+    x_t_2 = scale_swap[..., None] * (kp_swap @ rot_swap + delta_t)
+    x_t_2 = x_t_2.at[..., 0:2].add(t_swap[:, None, 0:2])
+    vol = jnp.broadcast_to(volume, (b, *volume.shape[1:]))
+    x_swap_b = jnp.broadcast_to(x_swap, (b, *x_swap.shape[1:]))
+    return warp_decode(core, params, vol, x_swap_b, x_t_2)
+
+
 # Jitted wrappers -----------------------------------------------------------
 
 swap_step_jit = jax.jit(swap_step, static_argnums=0, static_argnames=("with_debug",))
 extract_motion_jit = jax.jit(extract_motion, static_argnums=0)
 appearance_features_jit = jax.jit(appearance_features, static_argnums=0)
+reanimate_step_jit = jax.jit(reanimate_step, static_argnums=0)
+conv_decode_jit = jax.jit(conv_decode, static_argnums=0)

@@ -37,10 +37,12 @@ class Cropper:
         crop_cfg: CropConfig,
         face_analysis: FaceAnalysis,
         landmark_runner: Landmark203Runner,
+        network_input_size: int = 256,
     ):
         self.crop_cfg = crop_cfg
         self.face_analysis = face_analysis
         self.landmark_runner = landmark_runner
+        self.network_input_size = network_input_size
 
     def _detect_lmk(self, frame_rgb: np.ndarray):
         faces = self.face_analysis.get(
@@ -64,12 +66,13 @@ class Cropper:
             img_rgb, lmk, dsize=cfg.dsize, scale=cfg.scale,
             vy_ratio=cfg.vy_ratio, flag_do_rot=cfg.flag_do_rot,
         )
+        nis = self.network_input_size
         ret["img_crop_256x256"] = cv2.resize(
-            ret["img_crop"], (256, 256), interpolation=cv2.INTER_AREA
+            ret["img_crop"], (nis, nis), interpolation=cv2.INTER_AREA
         )
         lmk = self.landmark_runner.run(img_rgb, lmk)
         ret["lmk_crop"] = lmk
-        ret["lmk_crop_256x256"] = ret["lmk_crop"] * 256 / cfg.dsize
+        ret["lmk_crop_256x256"] = ret["lmk_crop"] * nis / cfg.dsize
         return ret
 
     def crop_source_video(self, frames_rgb, crop_cfg: CropConfig | None = None):
@@ -92,11 +95,12 @@ class Cropper:
                 frame, lmk, dsize=cfg.dsize, scale=cfg.scale,
                 vy_ratio=cfg.vy_ratio, flag_do_rot=cfg.flag_do_rot,
             )
+            nis = self.network_input_size
             crop256 = cv2.resize(
-                ret["img_crop"], (256, 256), interpolation=cv2.INTER_AREA
+                ret["img_crop"], (nis, nis), interpolation=cv2.INTER_AREA
             )
             traj.frame_rgb_crop_lst.append(crop256)
-            traj.lmk_crop_lst.append(lmk * 256 / cfg.dsize)
+            traj.lmk_crop_lst.append(lmk * nis / cfg.dsize)
             traj.M_c2o_lst.append(ret["M_c2o"])
             traj.M_o2c_lst.append(ret["M_o2c"])
 

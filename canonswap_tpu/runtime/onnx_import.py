@@ -1,0 +1,197 @@
+"""Minimal pure-Python ONNX weight extractor.
+
+This environment ships neither ``onnx`` nor ``onnxruntime``, but the
+reference's sidecar checkpoints (det_10g.onnx, 2d106det.onnx, landmark.onnx,
+glintr100.onnx — readme.md:32-48) are ONNX files.  This module parses the
+protobuf wire format directly and extracts:
+
+  - ``initializers``: {name: np.ndarray} — the weights,
+  - ``nodes``: [(op_type, name, inputs, outputs)] — the graph topology,
+
+which is all a weight converter needs to map ONNX tensors onto our flax
+modules.  No external dependencies; the protobuf wire format (varints +
+length-delimited fields) is stable and tiny to implement.
+
+ONNX schema fields used (onnx.proto3):
+  ModelProto.graph = 7 (GraphProto)
+  GraphProto.node = 1 (NodeProto), .initializer = 5 (TensorProto)
+  TensorProto: dims=1, data_type=2, float_data=4, int32_data=5, string_data=6,
+               int64_data=7, name=8, raw_data=9, double_data=10, uint64_data=11
+  NodeProto: input=1, output=2, name=3, op_type=4
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+# ONNX TensorProto.DataType -> numpy dtype
+_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wtype = tag >> 3, tag & 7
+        if wtype == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wtype == 1:  # 64-bit
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wtype == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wtype == 5:  # 32-bit
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+        yield field, wtype, val
+
+
+def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    dims: list[int] = []
+    dtype_code = 1
+    name = ""
+    raw = None
+    float_data: list[float] = []
+    int32_data: list[int] = []
+    int64_data: list[int] = []
+    double_data: list[float] = []
+    for field, wtype, val in _iter_fields(buf):
+        if field == 1:
+            if wtype == 0:
+                dims.append(val)
+            else:  # packed
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    dims.append(v)
+        elif field == 2 and wtype == 0:
+            dtype_code = val
+        elif field == 4:
+            if wtype == 2:
+                float_data.extend(struct.unpack(f"<{len(val) // 4}f", val))
+            else:
+                float_data.append(struct.unpack("<f", val)[0])
+        elif field == 5:
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    int32_data.append(v)
+            else:
+                int32_data.append(val)
+        elif field == 7:
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    int64_data.append(v)
+            else:
+                int64_data.append(val)
+        elif field == 8 and wtype == 2:
+            name = val.decode("utf-8")
+        elif field == 9 and wtype == 2:
+            raw = val
+        elif field == 10:
+            if wtype == 2:
+                double_data.extend(struct.unpack(f"<{len(val) // 8}d", val))
+            else:
+                double_data.append(struct.unpack("<d", val)[0])
+
+    dtype = _DTYPES.get(dtype_code, np.float32)
+    shape = tuple(dims)
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
+    elif float_data:
+        arr = np.asarray(float_data, np.float32).reshape(shape)
+    elif double_data:
+        arr = np.asarray(double_data, np.float64).reshape(shape)
+    elif int64_data:
+        arr = np.asarray(int64_data, np.int64).reshape(shape)
+    elif int32_data:
+        arr = np.asarray(int32_data, dtype).reshape(shape)
+    else:
+        arr = np.zeros(shape, dtype)
+    return name, arr
+
+
+@dataclasses.dataclass
+class OnnxNode:
+    op_type: str
+    name: str
+    inputs: list[str]
+    outputs: list[str]
+
+
+@dataclasses.dataclass
+class OnnxGraph:
+    initializers: dict[str, np.ndarray]
+    nodes: list[OnnxNode]
+
+    def by_op(self, op_type: str) -> list[OnnxNode]:
+        return [n for n in self.nodes if n.op_type == op_type]
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    inputs, outputs = [], []
+    name = ""
+    op_type = ""
+    for field, wtype, val in _iter_fields(buf):
+        if field == 1 and wtype == 2:
+            inputs.append(val.decode("utf-8"))
+        elif field == 2 and wtype == 2:
+            outputs.append(val.decode("utf-8"))
+        elif field == 3 and wtype == 2:
+            name = val.decode("utf-8")
+        elif field == 4 and wtype == 2:
+            op_type = val.decode("utf-8")
+    return OnnxNode(op_type, name, inputs, outputs)
+
+
+def _parse_graph(buf: bytes) -> OnnxGraph:
+    inits: dict[str, np.ndarray] = {}
+    nodes: list[OnnxNode] = []
+    for field, wtype, val in _iter_fields(buf):
+        if field == 5 and wtype == 2:
+            name, arr = _parse_tensor(val)
+            inits[name] = arr
+        elif field == 1 and wtype == 2:
+            nodes.append(_parse_node(val))
+    return OnnxGraph(inits, nodes)
+
+
+def load_onnx(path_or_bytes) -> OnnxGraph:
+    """Parse an ONNX file (ModelProto) -> OnnxGraph."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    for field, wtype, val in _iter_fields(data):
+        if field == 7 and wtype == 2:  # ModelProto.graph
+            return _parse_graph(val)
+    raise ValueError("no GraphProto found — not an ONNX ModelProto?")
