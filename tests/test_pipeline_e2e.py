@@ -1,0 +1,94 @@
+"""End-to-end pipeline tests (reduced model sizes, synthetic media).
+
+These exercise the REAL code paths: video decode -> detection -> landmark
+tracking -> crop -> batched motion/swap/parsing -> soft-mask paste-back ->
+encode.  Weights are random (no checkpoint ships with the reference), so the
+assertions target structure: files produced, decodable, right shapes/frame
+counts — not visual fidelity.
+"""
+
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from canonswap_tpu.configs.model_config import TINY
+from canonswap_tpu.configs.pipeline_config import (
+    ArgumentConfig,
+    CropConfig,
+    InferenceConfig,
+)
+from canonswap_tpu.models.parsing import SegformerConfig
+from canonswap_tpu.pipelines import swap_e2e, swap_v2i
+from canonswap_tpu.pipelines.session import FaceSwapSession
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (200, 180, 3), np.uint8)
+    cv2.imwrite(str(d / "source.png"), src)
+    w = cv2.VideoWriter(
+        str(d / "drv.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 25, (160, 120)
+    )
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (120, 160, 3), np.uint8))
+    w.release()
+    return d
+
+
+@pytest.fixture(scope="module")
+def session():
+    return FaceSwapSession(
+        InferenceConfig(batch_size=2),
+        CropConfig(),
+        TINY,
+        det_size=(128, 128),
+        arcface_layers=(1, 1, 1, 1),
+        parsing_cfg=SegformerConfig(
+            hidden_sizes=(8, 12, 20, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 5, 8), decoder_hidden=32,
+        ),
+        landmark_widths=(8, 12, 16, 24),
+    )
+
+
+def test_swap_e2e_video(session, media, tmp_path):
+    args = ArgumentConfig(
+        source=str(media / "source.png"), driving=str(media / "drv.mp4"),
+        output_dir=str(tmp_path / "out"),
+    )
+    wfp, wfp_concat = swap_e2e.execute(session, args)
+    assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+    assert osp.exists(wfp_concat)
+    frames = []
+    cap = cv2.VideoCapture(wfp)
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    assert len(frames) == 3
+    # motion-template cache was dumped next to the driving video
+    assert osp.exists(str(media / "drv.pkl"))
+
+    # second run hits the cache (and still succeeds)
+    wfp2, _ = swap_e2e.execute(session, args)
+    assert osp.exists(wfp2)
+
+
+def test_swap_v2i(session, media, tmp_path):
+    args = ArgumentConfig(
+        source=str(media / "source.png"), driving=str(media / "drv.mp4"),
+        output_dir=str(tmp_path / "out_v2i"),
+    )
+    wfp, _ = swap_v2i.execute(session, args)
+    assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+    cap = cv2.VideoCapture(wfp)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
