@@ -148,5 +148,12 @@ class FaceSwapSession:
     @staticmethod
     def prepare_frames(frames_uint8: np.ndarray) -> jax.Array:
         """uint8 (B, S, S, 3) -> float [0,1] device array (prepare_videos
-        equivalent, can_swap_e2e.py:147-163)."""
+        equivalent, can_swap_e2e.py:147-163); native fast path when built."""
+        try:
+            from canonswap_tpu.runtime import native as NAT
+
+            if NAT.available():
+                return jnp.asarray(NAT.frames_to_float01(frames_uint8))
+        except Exception:
+            pass
         return jnp.asarray(frames_uint8.astype(np.float32) / 255.0)

@@ -190,7 +190,17 @@ def prepare_paste_back(mask_crop, M_c2o, dsize, if_float=False):
 
 
 def paste_back(img_crop, M_c2o, img_ori, mask_ori):
-    """Blend the swapped crop back into the original frame (crop.py:523-529)."""
+    """Blend the swapped crop back into the original frame (crop.py:523-529).
+
+    Dispatches to the fused native C++ path (runtime/native.py) when built;
+    falls back to cv2 warp + numpy blend."""
+    try:
+        from canonswap_tpu.runtime import native as NAT
+
+        if NAT.available() and img_ori.dtype == np.uint8:
+            return NAT.paste_back(img_crop, M_c2o, img_ori, np.asarray(mask_ori))
+    except Exception:
+        pass
     dsize = (img_ori.shape[1], img_ori.shape[0])
     result = warp_affine(img_crop, M_c2o, dsize)
     return np.clip(
