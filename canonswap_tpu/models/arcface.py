@@ -65,7 +65,7 @@ class IRBlock(nn.Module):
         prelu = PReLU(name="prelu")
         out = prelu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding="SAME", use_bias=False, name="conv2")(out)
+                      padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(out)
         out = bn("bn2")(out)
         if self.use_se:
             out = SEBlock(name="se")(out)
@@ -96,7 +96,8 @@ class ArcFaceResNet(nn.Module):
                 name=name,
             )
 
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
+        # the reference conv1 has NO padding (arcface_models.py:72): 112 -> 110
+        x = nn.Conv(64, (3, 3), padding="VALID", use_bias=False, name="conv1")(x)
         x = bn("bn1")(x)
         x = PReLU(name="prelu")(x)
         x = max_pool(x, (2, 2))
@@ -114,7 +115,8 @@ class ArcFaceResNet(nn.Module):
                 inplanes = planes
             if li == 2:  # after layer3: the reference's second output
                 m = adaptive_avg_pool(x, (7, 7))
-                mid = m.reshape(m.shape[0], -1)
+                # torch flattens NCHW (channel-major)
+                mid = m.transpose(0, 3, 1, 2).reshape(m.shape[0], -1)
 
         x = bn("bn2")(x)
         # dropout is identity at inference; torch flatten is channel-major

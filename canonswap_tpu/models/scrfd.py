@@ -36,9 +36,11 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
-            strides=(self.stride, self.stride), padding="SAME", use_bias=False,
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)), use_bias=False,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
@@ -115,7 +117,7 @@ class PAFPN(nn.Module):
         out = [td[0]]
         for i in range(1, len(td)):
             down = nn.Conv(
-                c, (3, 3), strides=(2, 2), padding="SAME",
+                c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                 name=f"down_conv{i}",
             )(out[-1])
             out.append(td[i] + down)

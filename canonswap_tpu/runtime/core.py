@@ -63,6 +63,19 @@ class CanonSwapCore:
     def refine(self) -> RefineModule:
         return RefineModule()
 
+    @functools.cached_property
+    def stitching(self):
+        from canonswap_tpu.models.stitching import StitchingModule
+
+        return StitchingModule(num_kp=self.cfg.motion.num_kp)
+
+    def init_stitching_params(self, rng: jax.Array):
+        """Separate init for the optional stitching/retargeting nets (they
+        live in their own checkpoint in the LivePortrait lineage)."""
+        k = self.cfg.motion.num_kp
+        kp = jnp.zeros((1, k, 3))
+        return self.stitching.init(rng, kp, kp)
+
     def init_params(self, rng: jax.Array) -> Params:
         """Random-init the full parameter tree (converted checkpoints replace
         this; keys mirror combined_weights.pth)."""

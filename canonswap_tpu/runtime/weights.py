@@ -329,12 +329,29 @@ def convert_arcface(sd: StateDict, layers=(3, 4, 23, 3)) -> dict:
 
 
 def convert_stitching(sd: StateDict, num_hidden: int) -> dict:
-    """StitchingRetargetingNetwork: torch Sequential of Linear+ReLU pairs."""
+    """StitchingRetargetingNetwork: torch Sequential 'mlp' of Linear+ReLU
+    pairs (stitching_retargeting_network.py:18-29)."""
     tb = _TreeBuilder()
     for i in range(num_hidden):
-        tb.put(f"fc{i}", _dense(sd, f"layers.{2 * i}"))
-    tb.put("out", _dense(sd, f"layers.{2 * num_hidden}"))
+        tb.put(f"fc{i}", _dense(sd, f"mlp.{2 * i}"))
+    tb.put("out", _dense(sd, f"mlp.{2 * num_hidden}"))
     return tb.variables()
+
+
+def convert_stitching_checkpoint(ckpt: dict[str, StateDict]) -> dict:
+    """Full stitching checkpoint (keys retarget_shoulder / retarget_mouth /
+    retarget_eye, helper.py:157-181) -> StitchingModule variables."""
+    hidden = {"stitching": 3, "lip": 3, "eye": 5}
+    name_map = {
+        "stitching": "retarget_shoulder",
+        "lip": "retarget_mouth",
+        "eye": "retarget_eye",
+    }
+    params = {}
+    for ours, theirs in name_map.items():
+        sub = convert_stitching(strip_prefixes(ckpt[theirs]), hidden[ours])
+        params[ours] = sub["params"]
+    return {"params": params}
 
 
 # --------------------------------------------------------------------------

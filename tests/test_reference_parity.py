@@ -226,3 +226,68 @@ def test_refine_module_parity():
     variables = W.convert_refine(sd_np(tm))
     got = jm.apply(variables, ncdhw(x))
     assert_close(back3d(got), want)
+
+
+def test_stitching_parity():
+    import src.modules.stitching_retargeting_network as ref_st
+
+    from canonswap_tpu.models.stitching import StitchingRetargetingNetwork
+
+    tm = ref_st.StitchingRetargetingNetwork(
+        input_size=66, hidden_sizes=[256, 256, 128, 128, 64], output_size=63
+    ).eval()
+    x = torch.randn(2, 66)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    jm = StitchingRetargetingNetwork(
+        hidden_sizes=(256, 256, 128, 128, 64), output_size=63
+    )
+    variables = W.convert_stitching(sd_np(tm), num_hidden=5)
+    got = np.asarray(jm.apply(variables, jnp.asarray(x.numpy())))
+    assert_close(got, want)
+
+
+def test_convnextv2_motion_extractor_parity():
+    """Full ConvNeXtV2-tiny motion extractor vs the reference torch module
+    (src/modules/motion_extractor.py + convnextv2.py)."""
+    import src.modules.motion_extractor as ref_me
+
+    from canonswap_tpu.configs.model_config import MotionConfig
+    from canonswap_tpu.models.motion import MotionExtractor
+
+    tm = ref_me.MotionExtractor(num_kp=21, backbone="convnextv2_tiny").eval()
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        want = tm(x)
+
+    jm = MotionExtractor(MotionConfig(num_kp=21))
+    variables = W.convert_motion(sd_np(tm))
+    got = jm.apply(variables, nchw(x))
+    for k in ("kp", "pitch", "yaw", "roll", "t", "exp", "scale"):
+        assert_close(np.asarray(got[k]), want[k].numpy(), rtol=5e-4, atol=5e-4)
+
+
+def test_arcface_parity():
+    """SE-IR ResNet ArcFace vs reference models/arcface_models.py (dual
+    output contract: (embedding, mid feature))."""
+    import models.arcface_models as ref_arc
+
+    from canonswap_tpu.models.arcface import ArcFaceResNet
+
+    # models/arcface_models.py references conv3x3 without defining it (the
+    # pickled checkpoint was created where the original repo provided it);
+    # supply the standard ResNet conv3x3.
+    if not hasattr(ref_arc, "conv3x3"):
+        ref_arc.conv3x3 = lambda i, o, stride=1: torch.nn.Conv2d(
+            i, o, 3, stride=stride, padding=1, bias=False
+        )
+    tm = ref_arc.ResNet(ref_arc.IRBlock, [1, 1, 1, 1], use_se=True).eval()
+    x = torch.rand(2, 3, 112, 112)
+    with torch.no_grad():
+        want_emb, want_mid = tm(x)
+
+    jm = ArcFaceResNet(layers=(1, 1, 1, 1))
+    variables = W.convert_arcface(sd_np(tm), layers=(1, 1, 1, 1))
+    got_emb, got_mid = jm.apply(variables, nchw(x))
+    assert_close(np.asarray(got_emb), want_emb.numpy(), rtol=1e-3, atol=1e-3)
+    assert_close(np.asarray(got_mid), want_mid.numpy(), rtol=1e-3, atol=1e-3)
