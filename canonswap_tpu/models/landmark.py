@@ -34,10 +34,13 @@ class _TrunkBlock(nn.Module):
         residual = x
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding="SAME", use_bias=False)(x)
-        h = nn.GroupNorm(num_groups=min(16, self.features))(h)
+        import math
+
+        groups = math.gcd(self.features, 16)
+        h = nn.GroupNorm(num_groups=groups)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(h)
-        h = nn.GroupNorm(num_groups=min(16, self.features))(h)
+        h = nn.GroupNorm(num_groups=groups)(h)
         if self.stride != 1 or residual.shape[-1] != self.features:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.stride,) * 2,

@@ -1,0 +1,78 @@
+"""Conv3D expressed as depth-decomposed 2D convolutions.
+
+XLA:TPU maps 2D convolutions onto the MXU far more reliably than 3D ones.
+A stride-1 SAME kd x kh x kw conv over (B, D, H, W, C) decomposes exactly:
+
+    out[:, d] = sum_t conv2d(x[:, d + t - pad_d], W[t])
+
+i.e. kd ordinary 2D convs over the depth-flattened batch (B*D, H, W, C)
+with depth-shifted accumulation.  Parameters stay in DHWIO layout so the
+torch->jax converter and checkpoints are unchanged.
+
+``Conv3D`` is a drop-in replacement for ``nn.Conv`` with a 3-tuple kernel
+(stride 1, SAME); the ``impl`` flag selects the direct lax conv or the
+decomposition (benchmarked on device; see bench notes in SURVEY §7 step 9).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+_DN_2D = ("NHWC", "HWIO", "NHWC")
+
+
+def conv3d_decomposed(x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array | None = None) -> jax.Array:
+    """x: (B, D, H, W, Cin); kernel: (kd, kh, kw, Cin, Cout); SAME, stride 1."""
+    b, d, h, w, cin = x.shape
+    kd = kernel.shape[0]
+    pad = kd // 2
+    cout = kernel.shape[-1]
+
+    # zero-pad depth once; each tap is a contiguous depth slice
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for t in range(kd):
+        sl = xp[:, t : t + d]  # (B, D, H, W, Cin)
+        y = lax.conv_general_dilated(
+            sl.reshape(b * d, h, w, cin), kernel[t], (1, 1), "SAME",
+            dimension_numbers=_DN_2D,
+        )
+        out = y if out is None else out + y
+    out = out.reshape(b, d, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class Conv3D(nn.Module):
+    """Drop-in stride-1 SAME 3D conv with selectable implementation."""
+
+    features: int
+    kernel_size: tuple[int, int, int] = (3, 3, 3)
+    use_bias: bool = True
+    impl: str = "decomposed"  # "decomposed" | "direct"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        if self.impl == "direct":
+            y = lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return y + bias if bias is not None else y
+        return conv3d_decomposed(x, kernel, bias)
