@@ -44,7 +44,8 @@ def create_sparse_motions(
 def create_deformed_feature(
     feature: jax.Array, sparse_motions: jax.Array
 ) -> jax.Array:
-    """Warp ``feature`` (B, D, H, W, C) by each of the K+1 motions.
+    """Warp ``feature`` (B, D, H, W, C) by each of the K+1 motions (general
+    grid-sample path; kept as the reference implementation for parity).
 
     Returns (B, K+1, D, H, W, C)."""
     b, kp1 = sparse_motions.shape[:2]
@@ -55,6 +56,28 @@ def create_deformed_feature(
     grids = sparse_motions.reshape(b * kp1, d, h, w, 3)
     warped = grid_sample_3d_ref(feat_rep, grids)
     return warped.reshape(b, kp1, d, h, w, c)
+
+
+def create_deformed_feature_translated(
+    feature: jax.Array, kp_driving: jax.Array, kp_source: jax.Array
+) -> jax.Array:
+    """Gather-free equivalent of :func:`create_deformed_feature`: every
+    sparse motion is identity + (kp_source_k - kp_driving_k), a constant
+    translation, so each warp is three shifted-slice lerps
+    (ops.grid_sample.translate_volume_trilinear).  ~20x faster on TPU than
+    the gather path (which dominated the whole swap step)."""
+    from canonswap_tpu.ops.grid_sample import translate_volume_trilinear
+
+    b, k, _ = kp_driving.shape
+    d, h, w, c = feature.shape[1:]
+    shifts = jnp.concatenate(
+        [jnp.zeros((b, 1, 3), feature.dtype), kp_source - kp_driving], axis=1
+    )  # (B, K+1, 3)
+    feat_rep = jnp.broadcast_to(
+        feature[:, None], (b, k + 1, d, h, w, c)
+    ).reshape(b * (k + 1), d, h, w, c)
+    warped = translate_volume_trilinear(feat_rep, shifts.reshape(-1, 3))
+    return warped.reshape(b, k + 1, d, h, w, c)
 
 
 class DenseMotionNetwork(nn.Module):
@@ -79,7 +102,9 @@ class DenseMotionNetwork(nn.Module):
         x = nn.relu(x)
 
         sparse_motion = create_sparse_motions((d, h, w), kp_driving, kp_source)
-        deformed = create_deformed_feature(x, sparse_motion)  # (B,K+1,D,H,W,Cc)
+        deformed = create_deformed_feature_translated(
+            x, kp_driving, kp_source
+        )  # (B,K+1,D,H,W,Cc)
 
         g_drv = kp2gaussian(kp_driving, (d, h, w), 0.01)
         g_src = kp2gaussian(kp_source, (d, h, w), 0.01)
@@ -104,7 +129,12 @@ class DenseMotionNetwork(nn.Module):
             name="hourglass",
         )(hg_in, train)
 
-        mask = nn.Conv(k + 1, (7, 7, 7), padding="SAME", name="mask")(prediction)
+        from canonswap_tpu.nn.conv3d import Conv3D
+
+        # k7^3 conv over 142 channels is the reference's costliest conv
+        # (dense_motion.py:18 "NOTE: computation cost is large"); the depth
+        # decomposition halves it on TPU (bench: 42.8 -> 21.0 ms/step)
+        mask = Conv3D(k + 1, (7, 7, 7), name="mask")(prediction)
         mask = jax.nn.softmax(mask, axis=-1)  # (B, D, H, W, K+1)
         deformation = jnp.einsum(
             "bkdhwc,bdhwk->bdhwc", sparse_motion, mask

@@ -129,6 +129,49 @@ def grid_sample_2d_ref(img: jax.Array, grid: jax.Array) -> jax.Array:
     return corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
 
 
+def _axis_resample_matrix(size: int, shift: jax.Array, dtype) -> jax.Array:
+    """(S, S) banded linear-resample matrix for sampling at
+    ``identity_grid + shift`` along one axis.
+
+    The identity grid is corner-aligned (2p/(S-1) - 1, util.py:41-58) while
+    grid_sample unnormalizes align_corners=False, so the per-axis sample
+    position is affine: t(p) = p * S/(S-1) + shift*S/2 - 0.5.  Out-of-range
+    taps contribute zero (grid_sample zero padding)."""
+    p = jnp.arange(size, dtype=dtype)
+    t = p * (size / (size - 1.0)) + shift * (size / 2.0) - 0.5
+    x0 = jnp.floor(t)
+    f = t - x0
+    x0i = x0.astype(jnp.int32)[:, None]
+    cols = jnp.arange(size, dtype=jnp.int32)[None, :]
+    return (1.0 - f)[:, None] * (cols == x0i) + f[:, None] * (cols == x0i + 1)
+
+
+def translate_volume_trilinear(vol: jax.Array, shift: jax.Array) -> jax.Array:
+    """Trilinear resample of (N, D, H, W, C) at a CONSTANT normalized shift:
+    exactly ``grid_sample_3d_ref(vol, identity_grid + shift)`` but
+    gather-free — the warp is separable per axis, so it becomes three small
+    banded-matrix contractions (MXU work instead of random access).
+
+    This is the TPU-native form of the dense-motion module's per-keypoint
+    warps (reference dense_motion.py:29-53): every sparse motion is
+    ``identity_grid + (kp_source_k - kp_driving_k)``.
+
+    Args:
+      vol: (N, D, H, W, C).
+      shift: (N, 3) normalized xyz offsets.
+
+    Returns (N, D, H, W, C).
+    """
+    n, d, h, w, c = vol.shape
+    dt = vol.dtype
+    wz = jax.vmap(lambda s: _axis_resample_matrix(d, s[2], dt))(shift)
+    wy = jax.vmap(lambda s: _axis_resample_matrix(h, s[1], dt))(shift)
+    wx = jax.vmap(lambda s: _axis_resample_matrix(w, s[0], dt))(shift)
+    out = jnp.einsum("nab,nbhwc->nahwc", wz, vol)
+    out = jnp.einsum("nab,ndbwc->ndawc", wy, out)
+    return jnp.einsum("nab,ndhbc->ndhac", wx, out)
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def grid_sample_3d(vol: jax.Array, grid: jax.Array, impl: str = "auto") -> jax.Array:
     """Dispatching wrapper; ``impl`` in {"auto", "jnp", "pallas"}."""

@@ -238,3 +238,39 @@ class TestResize:
         np.testing.assert_allclose(
             np.asarray(back).transpose(0, 4, 1, 2, 3), x.numpy()
         )
+
+
+class TestTranslateVolume:
+    def test_matches_grid_sample_with_const_shift(self):
+        import jax
+
+        from canonswap_tpu.ops.grid_sample import translate_volume_trilinear
+        from canonswap_tpu.ops.heatmap import make_coordinate_grid_3d
+
+        rng = np.random.default_rng(9)
+        N, D, H, W, C = 3, 6, 10, 8, 4
+        vol = jnp.asarray(rng.normal(size=(N, D, H, W, C)).astype(np.float32))
+        shift = jnp.asarray(
+            rng.uniform(-1.5, 1.5, (N, 3)).astype(np.float32)
+        )
+        grid = make_coordinate_grid_3d((D, H, W))[None] + shift[:, None, None, None, :]
+        want = np.asarray(ops.grid_sample_3d_ref(vol, grid))
+        got = np.asarray(translate_volume_trilinear(vol, shift))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_dense_motion_translated_matches_general(self):
+        from canonswap_tpu.models.dense_motion import (
+            create_deformed_feature,
+            create_deformed_feature_translated,
+            create_sparse_motions,
+        )
+
+        rng = np.random.default_rng(10)
+        B, K, D, H, W, C = 2, 5, 4, 8, 8, 3
+        feat = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+        kp_d = jnp.asarray(rng.normal(size=(B, K, 3)).astype(np.float32) * 0.4)
+        kp_s = jnp.asarray(rng.normal(size=(B, K, 3)).astype(np.float32) * 0.4)
+        sm = create_sparse_motions((D, H, W), kp_d, kp_s)
+        want = np.asarray(create_deformed_feature(feat, sm))
+        got = np.asarray(create_deformed_feature_translated(feat, kp_d, kp_s))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
