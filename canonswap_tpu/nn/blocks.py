@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from canonswap_tpu.nn.conv3d import Conv3D
 from canonswap_tpu.ops.resize import avg_pool, nearest_upsample
 
 
@@ -82,7 +83,7 @@ class DownBlock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3, 3), padding="SAME")(x)
+        x = Conv3D(self.features, (3, 3, 3), name="Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         return avg_pool(x, (1, 2, 2))
@@ -96,7 +97,7 @@ class UpBlock3d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nearest_upsample(x, (1, 2, 2))
-        x = nn.Conv(self.features, (3, 3, 3), padding="SAME")(x)
+        x = Conv3D(self.features, (3, 3, 3), name="Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(x)
 
@@ -130,10 +131,10 @@ class ResBlock3d(nn.Module):
         k = (self.kernel,) * 3
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         h = nn.relu(h)
-        h = nn.Conv(c, k, padding="SAME")(h)
+        h = Conv3D(c, k, name="Conv_0")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
         h = nn.relu(h)
-        h = nn.Conv(c, k, padding="SAME")(h)
+        h = Conv3D(c, k, name="Conv_1")(h)
         return x + h
 
 
@@ -153,10 +154,10 @@ class ResBlock3dLeakGN(nn.Module):
             if cin == self.features
             else nn.Conv(self.features, (1, 1, 1), padding="VALID", name="shortcut")(x)
         )
-        h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv1")(x)
+        h = Conv3D(self.features, (3, 3, 3), name="conv1")(x)
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn1")(h)
         h = nn.leaky_relu(h, self.negative_slope)
-        h = nn.Conv(self.features, (3, 3, 3), padding="SAME", name="conv2")(h)
+        h = Conv3D(self.features, (3, 3, 3), name="conv2")(h)
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn2")(h)
         h = h + short
         return nn.leaky_relu(h, self.negative_slope)
@@ -195,7 +196,7 @@ class HourglassDecoder(nn.Module):
             out = UpBlock3d(out_filters, name=f"up{j}")(out, train)
             out = jnp.concatenate([out, feats.pop()], axis=-1)
         c = self.block_expansion + self.in_features
-        out = nn.Conv(c, (3, 3, 3), padding="SAME")(out)
+        out = Conv3D(c, (3, 3, 3), name="Conv_0")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(out)
         return nn.relu(out)
 
