@@ -92,3 +92,19 @@ def test_swap_v2i(session, media, tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 3
+
+
+def test_streaming_pipeline(session, media, tmp_path):
+    from canonswap_tpu.pipelines import streaming
+
+    args = ArgumentConfig(
+        source=str(media / "source.png"), driving=str(media / "drv.mp4"),
+        output_dir=str(tmp_path / "out_stream"),
+    )
+    wfp = streaming.execute(session, args)
+    assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+    cap = cv2.VideoCapture(wfp)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
