@@ -48,13 +48,39 @@ def conv3d_decomposed(x: jax.Array, kernel: jax.Array,
     return out
 
 
+def conv3d_stacked(x: jax.Array, kernel: jax.Array,
+                   bias: jax.Array | None = None) -> jax.Array:
+    """Depth taps packed into the channel axis: ONE 2D conv with kd*Cin
+    input channels instead of kd separate convs.  Identical numerics;
+    fills the MXU much better for small channel counts (the 32-channel
+    volume resblocks)."""
+    b, d, h, w, cin = x.shape
+    kd = kernel.shape[0]
+    pad = kd // 2
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    # (B, D, H, W, kd*Cin), channel index t*Cin + c
+    xs = jnp.concatenate([xp[:, t : t + d] for t in range(kd)], axis=-1)
+    # kernel (kd, kh, kw, Cin, Cout) -> (kh, kw, kd*Cin, Cout)
+    k2 = kernel.transpose(1, 2, 0, 3, 4).reshape(
+        kernel.shape[1], kernel.shape[2], kd * cin, cout
+    )
+    y = lax.conv_general_dilated(
+        xs.reshape(b * d, h, w, kd * cin), k2, (1, 1), "SAME",
+        dimension_numbers=_DN_2D,
+    ).reshape(b, d, h, w, cout)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class Conv3D(nn.Module):
     """Drop-in stride-1 SAME 3D conv with selectable implementation."""
 
     features: int
     kernel_size: tuple[int, int, int] = (3, 3, 3)
     use_bias: bool = True
-    impl: str = "decomposed"  # "decomposed" | "direct"
+    impl: str = "stacked"  # "stacked" | "decomposed" | "direct"
 
     @nn.compact
     def __call__(self, x):
@@ -75,4 +101,6 @@ class Conv3D(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
             return y + bias if bias is not None else y
-        return conv3d_decomposed(x, kernel, bias)
+        if self.impl == "decomposed":
+            return conv3d_decomposed(x, kernel, bias)
+        return conv3d_stacked(x, kernel, bias)
