@@ -16,7 +16,8 @@ vs_baseline = value / 60 (BASELINE.md target: >=60 frames/sec/chip).
 Env knobs:
   CANONSWAP_BENCH_BATCH  frame batch size (default 16)
   CANONSWAP_BENCH_DTYPE  bf16 (default) | f32
-  CANONSWAP_BENCH_N      long scan length (default 24; short = N//4)
+  CANONSWAP_BENCH_N      long scan length (default 4; short = 1). Long
+                         single programs can trip the TPU watchdog; keep <= 8.
 """
 
 from __future__ import annotations
@@ -76,8 +77,8 @@ def main():
         os.environ.get("CANONSWAP_BENCH_DTYPE", "bf16")
     ]
     batch = int(os.environ.get("CANONSWAP_BENCH_BATCH", "16"))
-    n_long = int(os.environ.get("CANONSWAP_BENCH_N", "24"))
-    n_short = max(1, n_long // 4)
+    n_long = int(os.environ.get("CANONSWAP_BENCH_N", "4"))
+    n_short = 1
 
     core = C.CanonSwapCore(CANONICAL)
     with jax.default_device(jax.devices("cpu")[0]):
