@@ -59,10 +59,7 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
     f_s = C.appearance_features_jit(core, params, I_s)
     x_s = x_s_info["x_t"]
     x_d_new = x_s_info["scale"][..., None] * x_s_info["kp"]
-    f_s_can, occ_map, _ = core.warping.apply(
-        params["warping_module"], f_s, kp_driving=x_d_new, kp_source=x_s,
-        method="warp",
-    )
+    f_s_can, occ_map = C.warp_to_canonical_jit(core, params, f_s, x_s, x_d_new)
     source_can = _to_uint8(C.conv_decode_jit(core, params, f_s_can, occ_map))[0]
 
     # 2) driving video + motion template (v2i:201-238) ---------------------
@@ -77,10 +74,11 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
     driving_id = session.get_source_id(driving_rgb_lst[0])
 
     # 3) swap once in canonical space (v2i:285-304) -------------------------
-    f_can_swap = C.inject_identity(core, params, f_s_can, driving_id)
+    f_can_swap = C.inject_identity_jit(core, params, f_s_can, driving_id)
     swap_can = C.conv_decode_jit(core, params, f_can_swap, occ_map)
     I_can = _to_uint8(swap_can)[0]
-    swap_can_256 = bilinear_resize(swap_can, (256, 256))
+    s_in = session.model_cfg.input_size
+    swap_can_256 = bilinear_resize(swap_can, (s_in, s_in))
     x_swap_info = session.motion_template(swap_can_256)
     x_swap = x_swap_info["x_t"]
     kp_swap = x_swap_info["kp"]
@@ -101,7 +99,6 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
 
     # 4) batched re-animation loop (v2i:260-321) ----------------------------
     I_p_lst, I_p_pstbk_lst = [], []
-    delta_all = np.zeros((n_frames, kp_swap.shape[1], 3), np.float32)
     for lo in range(0, n_frames, batch):
         hi = min(lo + batch, n_frames)
         idx = np.arange(lo, hi)
@@ -120,7 +117,6 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
             I_p_pstbk_lst.append(
                 G.paste_back(res[j], source_M_c2o, source_img, mask_ori)
             )
-        delta_all[lo:hi] = np.asarray(motion["exp"])[: hi - lo]
         log(f"Re-animated frames {lo}..{hi - 1}")
 
     # 5) encode --------------------------------------------------------------

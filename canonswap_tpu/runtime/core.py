@@ -249,3 +249,5 @@ extract_motion_jit = jax.jit(extract_motion, static_argnums=0)
 appearance_features_jit = jax.jit(appearance_features, static_argnums=0)
 reanimate_step_jit = jax.jit(reanimate_step, static_argnums=0)
 conv_decode_jit = jax.jit(conv_decode, static_argnums=0)
+warp_to_canonical_jit = jax.jit(warp_to_canonical, static_argnums=0)
+inject_identity_jit = jax.jit(inject_identity, static_argnums=0)
