@@ -95,6 +95,9 @@ class DenseMotionNetwork(nn.Module):
         c = self.cfg
         b, d, h, w, _ = feature.shape
         k = self.num_kp
+        # keypoints may arrive f32 under half-precision inference
+        kp_driving = kp_driving.astype(feature.dtype)
+        kp_source = kp_source.astype(feature.dtype)
 
         x = nn.Conv(c.compress, (1, 1, 1), name="compress")(feature)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

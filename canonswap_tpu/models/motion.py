@@ -35,7 +35,12 @@ def refine_kp_info(kp_info: dict[str, jax.Array]) -> dict[str, jax.Array]:
     """Raw head outputs -> refined motion dict.
 
     pitch/yaw/roll: (B, 1) degrees; kp/exp: (B, K, 3); t: (B, 3); scale: (B, 1).
+    Keypoint math runs in float32 even under half-precision inference — the
+    reference floats the kp dict the same way (can_swap_e2e.py:184-188).
     """
+    import jax.numpy as jnp
+
+    kp_info = {k: v.astype(jnp.float32) for k, v in kp_info.items()}
     b = kp_info["kp"].shape[0]
     out = dict(kp_info)
     out["pitch"] = headpose_to_degree(kp_info["pitch"])[:, None]

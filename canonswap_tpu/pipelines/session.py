@@ -51,6 +51,17 @@ class FaceSwapSession:
         self.params = self.core.init_params(keys[0])
         if self.inference_cfg.checkpoint:
             self.load_checkpoint(self.inference_cfg.checkpoint)
+        # half precision: bf16 params/compute on the generator (the TPU-native
+        # analogue of the reference's fp16 autocast, can_swap_e2e.py:113-119);
+        # keypoint math stays f32 (refine_kp_info) and outputs are cast back
+        self.half = bool(self.inference_cfg.flag_use_half_precision)
+        if self.half:
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                self.params,
+            )
+        self.compute_dtype = jnp.bfloat16 if self.half else jnp.float32
 
         # perception stack
         self.face_analysis = FaceAnalysis(
@@ -98,8 +109,14 @@ class FaceSwapSession:
         from canonswap_tpu.runtime import weights as W
 
         converted = W.load_torch_checkpoint(path)
+        dtype = getattr(self, "compute_dtype", jnp.float32)
         for k, v in converted.items():
-            self.params[k] = jax.tree.map(jnp.asarray, v)
+            self.params[k] = jax.tree.map(
+                lambda x: jnp.asarray(x).astype(dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(x),
+                v,
+            )
 
     # ------------------------------------------------------------------
     # stages
@@ -140,20 +157,22 @@ class FaceSwapSession:
         self, frames01: jax.Array, source_id: jax.Array, motion: dict,
         with_debug: bool = False,
     ) -> dict:
-        return self._swap_step(
+        out = self._swap_step(
             self.core, self.params, frames01, source_id, motion,
             with_debug=with_debug,
         )
+        return jax.tree.map(lambda x: x.astype(jnp.float32), out)
 
-    @staticmethod
-    def prepare_frames(frames_uint8: np.ndarray) -> jax.Array:
+    def prepare_frames(self, frames_uint8: np.ndarray) -> jax.Array:
         """uint8 (B, S, S, 3) -> float [0,1] device array (prepare_videos
         equivalent, can_swap_e2e.py:147-163); native fast path when built."""
         try:
             from canonswap_tpu.runtime import native as NAT
 
             if NAT.available():
-                return jnp.asarray(NAT.frames_to_float01(frames_uint8))
+                x = jnp.asarray(NAT.frames_to_float01(frames_uint8))
+            else:
+                x = jnp.asarray(frames_uint8.astype(np.float32) / 255.0)
         except Exception:
-            pass
-        return jnp.asarray(frames_uint8.astype(np.float32) / 255.0)
+            x = jnp.asarray(frames_uint8.astype(np.float32) / 255.0)
+        return x.astype(self.compute_dtype)

@@ -33,7 +33,8 @@ from canonswap_tpu.utils.rlog import log
 
 
 def _to_uint8(x) -> np.ndarray:
-    return np.clip(np.asarray(x, np.float32) * 255, 0, 255).astype(np.uint8)
+    x = np.asarray(jnp.asarray(x, jnp.float32))
+    return np.clip(x * 255, 0, 255).astype(np.uint8)
 
 
 def execute(session: FaceSwapSession, args: ArgumentConfig):

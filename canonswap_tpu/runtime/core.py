@@ -197,9 +197,11 @@ def swap_step(
         source_id = jnp.broadcast_to(
             source_id, (frames.shape[0], source_id.shape[1])
         )
+    source_id = source_id.astype(frames.dtype)
     f_s = appearance_features(core, params, frames)
-    x_can = motion["scale"][..., None] * motion["kp"]
-    x_t = motion["x_t"]
+    # kp math arrives in f32; compute path follows the frame dtype
+    x_can = (motion["scale"][..., None] * motion["kp"]).astype(frames.dtype)
+    x_t = motion["x_t"].astype(frames.dtype)
     f_can, occ = warp_to_canonical(core, params, f_s, x_t, x_can)
     f_swap = inject_identity(core, params, f_can, source_id)
     out = {}
@@ -239,7 +241,10 @@ def reanimate_step(
     x_t_2 = x_t_2.at[..., 0:2].add(t_swap[:, None, 0:2])
     vol = jnp.broadcast_to(volume, (b, *volume.shape[1:]))
     x_swap_b = jnp.broadcast_to(x_swap, (b, *x_swap.shape[1:]))
-    return warp_decode(core, params, vol, x_swap_b, x_t_2)
+    return warp_decode(
+        core, params, vol,
+        x_swap_b.astype(vol.dtype), x_t_2.astype(vol.dtype),
+    )
 
 
 # Jitted wrappers -----------------------------------------------------------
