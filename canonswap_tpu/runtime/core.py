@@ -145,7 +145,9 @@ def warp_to_canonical(core, params, f_s, x_t, x_can):
 
 def inject_identity(core, params, f_can, source_id):
     """Canonical-space identity swap (transfer module)."""
-    return core.swap.apply(params["transfer"], f_can, source_id)
+    return core.swap.apply(
+        params["transfer"], f_can, source_id.astype(f_can.dtype)
+    )
 
 
 def refine_volume(core, params, f_swap):

@@ -106,7 +106,7 @@ def estimate_similar_transform(
     center, size, angle = parse_rect_from_landmark(
         pts, scale=scale, vx_ratio=vx_ratio, vy_ratio=vy_ratio, use_lip=use_lip
     )
-    s = dsize / size[0]
+    s = dsize / max(float(size[0]), 1e-3)  # guard degenerate landmarks
     tc = dsize / 2.0
     if flag_do_rot:
         ct, st = np.cos(angle), np.sin(angle)
