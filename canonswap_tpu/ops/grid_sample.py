@@ -129,6 +129,70 @@ def grid_sample_2d_ref(img: jax.Array, grid: jax.Array) -> jax.Array:
     return corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
 
 
+def grid_sample_3d_packed(vol: jax.Array, grid: jax.Array) -> jax.Array:
+    """Trilinear grid sample via corner packing: EXACT semantics of
+    :func:`grid_sample_3d_ref`, one gather instead of eight.
+
+    TPU gathers are granularity-bound: eight scattered C-wide taps per point
+    read tiny rows.  Here the 8 trilinear corners are pre-packed into the
+    channel axis (one shifted-slice concat, pure bandwidth), so every point
+    needs a SINGLE gather of an 8C-wide row (C=32 -> 512-byte rows, the
+    sweet spot), followed by a weighted within-row reduction.
+
+    vol: (B, D, H, W, C); grid: (B, Do, Ho, Wo, 3), xyz in [-1, 1].
+    """
+    b, d, h, w, c = vol.shape
+    out_shape = grid.shape[:-1]
+
+    x = _unnormalize(grid[..., 0].astype(jnp.float32), w)
+    y = _unnormalize(grid[..., 1].astype(jnp.float32), h)
+    z = _unnormalize(grid[..., 2].astype(jnp.float32), d)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = (x - x0).astype(vol.dtype)
+    fy = (y - y0).astype(vol.dtype)
+    fz = (z - z0).astype(vol.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    # packed volume over base corners (z0+1, y0+1, x0+1) in [0..D]x[0..H]x[0..W]
+    vp = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    corners = [
+        vp[:, dz : dz + d + 1, dy : dy + h + 1, dx : dx + w + 1]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    packed = jnp.concatenate(corners, axis=-1)  # (B, D+1, H+1, W+1, 8C)
+    packed = packed.reshape(b, (d + 1) * (h + 1) * (w + 1), 8 * c)
+
+    zc = jnp.clip(z0i + 1, 0, d)
+    yc = jnp.clip(y0i + 1, 0, h)
+    xc = jnp.clip(x0i + 1, 0, w)
+    flat = (zc * (h + 1) + yc) * (w + 1) + xc
+    rows = jnp.take_along_axis(
+        packed, flat.reshape(b, -1)[..., None], axis=1
+    )  # (B, P, 8C)
+    rows = rows.reshape(*out_shape, 8, c)
+
+    weights = []
+    for dz in (0, 1):
+        wz = fz if dz else 1.0 - fz
+        vz = (z0i + dz >= 0) & (z0i + dz < d)
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            vy = (y0i + dy >= 0) & (y0i + dy < h)
+            for dx in (0, 1):
+                wx = fx if dx else 1.0 - fx
+                vx = (x0i + dx >= 0) & (x0i + dx < w)
+                valid = (vz & vy & vx) & (
+                    (z0i + 1 == zc) & (y0i + 1 == yc) & (x0i + 1 == xc)
+                )
+                weights.append(wz * wy * wx * valid.astype(vol.dtype))
+    wstack = jnp.stack(weights, axis=-1)  # (..., 8)
+    return jnp.einsum("...kc,...k->...c", rows, wstack)
+
+
 def _axis_resample_matrix(size: int, shift: jax.Array, dtype) -> jax.Array:
     """(S, S) banded linear-resample matrix for sampling at
     ``identity_grid + shift`` along one axis.

@@ -69,7 +69,8 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
         log(f"Driving video cropped: {n_frames} frames")
     else:
         lmk_crop_lst = session.cropper.calc_lmks_from_cropped_video(driving_rgb_lst)
-        crops_256 = [cv2.resize(f, (256, 256)) for f in driving_rgb_lst]
+        nis = session.cropper.network_input_size
+        crops_256 = [cv2.resize(f, (nis, nis)) for f in driving_rgb_lst]
         M_c2o_lst = None  # no crop -> no paste-back transform
 
     crops_256 = np.stack(crops_256)  # (N, 256, 256, 3) uint8
@@ -134,6 +135,17 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
         motion = {k: jnp.asarray(v[idx]) for k, v in motion_all.items()}
         out = session.swap_batch(frames01, source_id, motion, with_debug=True)
         masks512 = session.parse_masks(crops_256[idx])
+
+        if not do_pstbk:
+            # blend the swapped output with the (resized) input crop through
+            # the parsing mask (reference blend_images path,
+            # can_swap_pipeline_e2e.py:269, crop.py:93-96)
+            from canonswap_tpu.ops.affine import blend_images
+
+            blended = blend_images(
+                out["out"], frames01.astype(jnp.float32), masks512
+            )
+            out = dict(out, out=blended)
 
         res = np.clip(np.asarray(out["out"], np.float32) * 255, 0, 255).astype(np.uint8)
         can = np.clip(np.asarray(out["swap_can"], np.float32) * 255, 0, 255).astype(np.uint8)

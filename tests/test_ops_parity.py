@@ -274,3 +274,20 @@ class TestTranslateVolume:
         want = np.asarray(create_deformed_feature(feat, sm))
         got = np.asarray(create_deformed_feature_translated(feat, kp_d, kp_s))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestGridSamplePacked:
+    @pytest.mark.parametrize("pad_outside", [False, True])
+    def test_matches_ref(self, pad_outside):
+        from canonswap_tpu.ops.grid_sample import grid_sample_3d_packed
+
+        rng = np.random.default_rng(13)
+        N, D, H, W, C = 2, 5, 9, 7, 3
+        vol = jnp.asarray(rng.normal(size=(N, D, H, W, C)).astype(np.float32))
+        scale = 1.6 if pad_outside else 0.9
+        grid = jnp.asarray(
+            rng.uniform(-scale, scale, (N, D, H, W, 3)).astype(np.float32)
+        )
+        want = np.asarray(ops.grid_sample_3d_ref(vol, grid))
+        got = np.asarray(grid_sample_3d_packed(vol, grid))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

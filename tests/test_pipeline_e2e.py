@@ -108,3 +108,25 @@ def test_streaming_pipeline(session, media, tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 3
+
+
+def test_swap_e2e_square_noncrop_blend_path(session, media, tmp_path):
+    """Square driving video without forced crop exercises the blend_images
+    (non-pasteback) branch (reference can_swap_pipeline_e2e.py:269)."""
+    rng = np.random.default_rng(3)
+    sq = media / "drv_sq.mp4"
+    w = cv2.VideoWriter(str(sq), cv2.VideoWriter_fourcc(*"mp4v"), 25, (96, 96))
+    for _ in range(2):
+        w.write(rng.integers(0, 255, (96, 96, 3), np.uint8))
+    w.release()
+    old = session.inference_cfg.flag_crop_driving_video
+    session.inference_cfg.flag_crop_driving_video = False
+    try:
+        args = ArgumentConfig(
+            source=str(media / "source.png"), driving=str(sq),
+            output_dir=str(tmp_path / "out_sq"),
+        )
+        wfp, _ = swap_e2e.execute(session, args)
+        assert osp.exists(wfp)
+    finally:
+        session.inference_cfg.flag_crop_driving_video = old
