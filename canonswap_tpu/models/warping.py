@@ -15,7 +15,7 @@ from flax import linen as nn
 from canonswap_tpu.configs.model_config import WarpingConfig
 from canonswap_tpu.models.dense_motion import DenseMotionNetwork
 from canonswap_tpu.nn.blocks import SameBlock2d
-from canonswap_tpu.ops.grid_sample import grid_sample_3d_ref
+from canonswap_tpu.ops.grid_sample import grid_sample_3d_packed
 from canonswap_tpu.ops.resize import volume_to_2d
 
 
@@ -41,7 +41,8 @@ class WarpingNetwork(nn.Module):
         dense = self.dense_motion_network(
             feature_3d, kp_driving=kp_driving, kp_source=kp_source, train=train
         )
-        warped = grid_sample_3d_ref(feature_3d, dense["deformation"])
+        # corner-packed exact trilinear warp (3.5x the flat gather on v5e)
+        warped = grid_sample_3d_packed(feature_3d, dense["deformation"])
         return warped, dense.get("occlusion_map"), dense
 
     def warp_out(self, volume, occlusion_map=None, train: bool = False):
