@@ -74,13 +74,41 @@ def conv3d_stacked(x: jax.Array, kernel: jax.Array,
     return y
 
 
+def conv3d_outstacked(x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array | None = None) -> jax.Array:
+    """Depth taps packed into the OUTPUT channel axis: one 2D conv with
+    kd*Cout outputs, then a depth-shifted sum.  Identical numerics; fills
+    the MXU when Cout is small (e.g. the k7^3 mask head: 22 out channels ->
+    154 packed)."""
+    b, d, h, w, cin = x.shape
+    kd, kh, kw, _, cout = kernel.shape
+    pad = kd // 2
+    # kernel -> (kh, kw, cin, kd*cout), packed group index t*cout + o
+    k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(kh, kw, cin, kd * cout)
+    y = lax.conv_general_dilated(
+        x.reshape(b * d, h, w, cin), k2, (1, 1), "SAME",
+        dimension_numbers=_DN_2D,
+    ).reshape(b, d, h, w, kd, cout)
+    yp = jnp.pad(y, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for t in range(kd):
+        term = yp[:, t : t + d, :, :, t, :]
+        out = term if out is None else out + term
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class Conv3D(nn.Module):
-    """Drop-in stride-1 SAME 3D conv with selectable implementation."""
+    """Drop-in stride-1 SAME 3D conv with selectable implementation.
+
+    impl="auto" picks output-stacking when the output channel count is
+    small relative to the input (MXU fill), else input-stacking."""
 
     features: int
     kernel_size: tuple[int, int, int] = (3, 3, 3)
     use_bias: bool = True
-    impl: str = "stacked"  # "stacked" | "decomposed" | "direct"
+    impl: str = "auto"  # "auto" | "stacked" | "outstacked" | "decomposed" | "direct"
 
     @nn.compact
     def __call__(self, x):
@@ -95,12 +123,22 @@ class Conv3D(nn.Module):
             if self.use_bias
             else None
         )
-        if self.impl == "direct":
+        impl = self.impl
+        if impl == "auto":
+            kd = self.kernel_size[0]
+            impl = (
+                "outstacked"
+                if self.features < 64 <= kd * self.features
+                else "stacked"
+            )
+        if impl == "direct":
             y = lax.conv_general_dilated(
                 x, kernel, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
             return y + bias if bias is not None else y
-        if self.impl == "decomposed":
+        if impl == "decomposed":
             return conv3d_decomposed(x, kernel, bias)
+        if impl == "outstacked":
+            return conv3d_outstacked(x, kernel, bias)
         return conv3d_stacked(x, kernel, bias)
