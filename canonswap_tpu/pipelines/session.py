@@ -153,6 +153,18 @@ class FaceSwapSession:
         """Batched motion template over prepared frames (B, S, S, 3) in [0,1]."""
         return self._extract_motion(self.core, self.params, frames01)
 
+    def swap_with_motion(
+        self, frames01: jax.Array, source_id: jax.Array,
+        with_debug: bool = False,
+    ) -> tuple[dict, dict]:
+        """Fused motion + swap (one device dispatch)."""
+        out, motion = C.swap_with_motion_jit(
+            self.core, self.params, frames01, source_id,
+            with_debug=with_debug,
+        )
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        return out, motion
+
     def swap_batch(
         self, frames01: jax.Array, source_id: jax.Array, motion: dict,
         with_debug: bool = False,

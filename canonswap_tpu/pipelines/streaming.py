@@ -126,8 +126,7 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
         frames, crops, m_c2o, valid = item
         with timer.stage("device/swap", items=valid):
             frames01 = session.prepare_frames(crops)
-            motion = session.motion_template(frames01)
-            out = session.swap_batch(frames01, source_id, motion)
+            out, _ = session.swap_with_motion(frames01, source_id)
             masks = np.asarray(session.parse_masks(crops))
             res = np.clip(
                 np.asarray(out["out"], np.float32) * 255, 0, 255

@@ -92,33 +92,8 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
                 k: np.asarray(v) for k, v in cached["motion"].items()
             }
             log(f"Loaded motion template from {template_path}")
-    if motion_all is None:
-        chunks = []
-        for lo, hi in _batched(n_frames, batch):
-            idx = np.arange(lo, hi)
-            pad = batch - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.full(pad, hi - 1)])
-            m = session.motion_template(session.prepare_frames(crops_256[idx]))
-            chunks.append({k: np.asarray(v)[: hi - lo] for k, v in m.items()})
-        motion_all = {
-            k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]
-        }
-        if template_path:
-            try:
-                IO.dump(
-                    template_path,
-                    {
-                        "n_frames": n_frames,
-                        "output_fps": output_fps,
-                        "motion": motion_all,
-                        "c_eyes_lst": c_d_eyes_lst,
-                        "c_lip_lst": c_d_lip_lst,
-                    },
-                )
-                log(f"Dumped motion template to {template_path}")
-            except OSError:
-                pass  # read-only source directory
+    use_fused = motion_all is None  # no cache: fuse motion+swap per batch
+    motion_chunks = []
 
     # 5..6) batched swap + parsing ----------------------------------------
     I_p_lst, I_can_lst, rec_can_lst, I_p_pstbk_lst = [], [], [], []
@@ -132,8 +107,16 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
             idx = np.concatenate([idx, np.full(pad, hi - 1)])
         frames01 = session.prepare_frames(crops_256[idx])
 
-        motion = {k: jnp.asarray(v[idx]) for k, v in motion_all.items()}
-        out = session.swap_batch(frames01, source_id, motion, with_debug=True)
+        if use_fused:
+            out, motion = session.swap_with_motion(
+                frames01, source_id, with_debug=True
+            )
+            motion_chunks.append(
+                {k: np.asarray(v)[: hi - lo] for k, v in motion.items()}
+            )
+        else:
+            motion = {k: jnp.asarray(v[idx]) for k, v in motion_all.items()}
+            out = session.swap_batch(frames01, source_id, motion, with_debug=True)
         masks512 = session.parse_masks(crops_256[idx])
 
         if not do_pstbk:
@@ -171,6 +154,26 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
                     )
                 )
         log(f"Swapped frames {lo}..{hi - 1}")
+
+    if use_fused and motion_chunks and template_path:
+        motion_all = {
+            k: np.concatenate([c[k] for c in motion_chunks])
+            for k in motion_chunks[0]
+        }
+        try:
+            IO.dump(
+                template_path,
+                {
+                    "n_frames": n_frames,
+                    "output_fps": output_fps,
+                    "motion": motion_all,
+                    "c_eyes_lst": c_d_eyes_lst,
+                    "c_lip_lst": c_d_lip_lst,
+                },
+            )
+            log(f"Dumped motion template to {template_path}")
+        except OSError:
+            pass  # read-only source directory
 
     # 7) encode ------------------------------------------------------------
     os.makedirs(args.output_dir, exist_ok=True)

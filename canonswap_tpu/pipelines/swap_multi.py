@@ -75,8 +75,7 @@ def execute(session: FaceSwapSession, args: ArgumentConfig, max_faces: int = 4):
             if pad:
                 idx = np.concatenate([idx, np.full(pad, hi - 1)])
             frames01 = session.prepare_frames(crops[idx])
-            motion = session.motion_template(frames01)
-            out = session.swap_batch(frames01, source_id, motion)
+            out, _ = session.swap_with_motion(frames01, source_id)
             res = np.clip(
                 np.asarray(out["out"], np.float32) * 255, 0, 255
             ).astype(np.uint8)
