@@ -16,7 +16,7 @@ Conventions:
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,21 +24,6 @@ from flax import linen as nn
 
 from canonswap_tpu.nn.conv3d import Conv3D
 from canonswap_tpu.ops.resize import avg_pool, nearest_upsample
-
-
-class BatchNorm(nn.Module):
-    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
-
-    use_running_average: bool = True
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=None,
-        )(x)
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:

@@ -25,3 +25,7 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent CPU compile cache (separate from the TPU remote-compile cache —
+# mixing them loads AOT results built for a different machine)
+jax.config.update("jax_compilation_cache_dir", "/tmp/canonswap_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
