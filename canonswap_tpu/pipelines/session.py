@@ -39,16 +39,31 @@ class FaceSwapSession:
         arcface_layers: tuple[int, int, int, int] = (3, 4, 23, 3),
         parsing_cfg: P.SegformerConfig | None = None,
         landmark_widths: tuple[int, ...] = (32, 64, 128, 256),
+        fast_init: bool = False,
     ):
+        """``fast_init`` skips random weight initialization (zeros via
+        eval_shape) — for benchmark/demo runs where a checkpoint will be
+        loaded or weights don't matter; saves minutes of single-core CPU."""
         self.inference_cfg = inference_cfg or InferenceConfig()
         self.crop_cfg = crop_cfg or CropConfig()
         self.model_cfg = model_cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         keys = jax.random.split(rng, 8)
 
+        if fast_init:
+            def _zeros_like_init(fn):
+                def wrapped(*a, **k):
+                    shapes = jax.eval_shape(fn, *a, **k)
+                    return jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                    )
+                return wrapped
+        else:
+            _zeros_like_init = lambda fn: fn  # noqa: E731
+
         # generator core
         self.core = C.CanonSwapCore(model_cfg)
-        self.params = self.core.init_params(keys[0])
+        self.params = _zeros_like_init(self.core.init_params)(keys[0])
         if self.inference_cfg.checkpoint:
             self.load_checkpoint(self.inference_cfg.checkpoint)
         # half precision: bf16 params/compute on the generator (the TPU-native
@@ -64,11 +79,29 @@ class FaceSwapSession:
         self.compute_dtype = jnp.bfloat16 if self.half else jnp.float32
 
         # perception stack
+        det_params = None
+        if fast_init:
+            from canonswap_tpu.models import scrfd as S
+
+            det_params = _zeros_like_init(S.SCRFD().init)(
+                keys[1], jnp.zeros((1, det_size[1], det_size[0], 3))
+            )
         self.face_analysis = FaceAnalysis(
-            det_thresh=self.crop_cfg.det_thresh, det_size=det_size, rng=keys[1]
+            det_params=det_params, det_thresh=self.crop_cfg.det_thresh,
+            det_size=det_size, rng=keys[1],
         )
-        self.landmark203 = Landmark203Runner(rng=keys[2], widths=landmark_widths)
-        self.lmk106 = Landmark106Runner(rng=keys[3], widths=landmark_widths)
+        if fast_init:
+            lp203 = _zeros_like_init(
+                lambda r: Landmark203Runner(rng=r, widths=landmark_widths).params
+            )(keys[2])
+            self.landmark203 = Landmark203Runner(params=lp203, widths=landmark_widths)
+            lp106 = _zeros_like_init(
+                lambda r: Landmark106Runner(rng=r, widths=landmark_widths).params
+            )(keys[3])
+            self.lmk106 = Landmark106Runner(params=lp106, widths=landmark_widths)
+        else:
+            self.landmark203 = Landmark203Runner(rng=keys[2], widths=landmark_widths)
+            self.lmk106 = Landmark106Runner(rng=keys[3], widths=landmark_widths)
         self.face_analysis.lmk106 = self.lmk106
         self.cropper = Cropper(
             self.crop_cfg, self.face_analysis, self.landmark203,
@@ -78,14 +111,14 @@ class FaceSwapSession:
 
         # face parsing
         self.parsing = P.Segformer(parsing_cfg or P.SegformerConfig())
-        self.parsing_params = self.parsing.init(
+        self.parsing_params = _zeros_like_init(self.parsing.init)(
             keys[4], jnp.zeros((1, model_cfg.input_size, model_cfg.input_size, 3))
         )
         self._parse = jax.jit(self.parsing.apply)
 
         # ArcFace ID encoder
         self.arcface = ArcFaceResNet(layers=arcface_layers)
-        self.arcface_params = self.arcface.init(
+        self.arcface_params = _zeros_like_init(self.arcface.init)(
             keys[5], jnp.zeros((1, 112, 112, 3))
         )
         self._arcface_apply = jax.jit(self.arcface.apply)
@@ -155,15 +188,24 @@ class FaceSwapSession:
 
     def swap_with_motion(
         self, frames01: jax.Array, source_id: jax.Array,
-        with_debug: bool = False,
+        with_debug: bool = False, as_uint8: bool = False,
     ) -> tuple[dict, dict]:
-        """Fused motion + swap (one device dispatch)."""
+        """Fused motion + swap (one device dispatch); as_uint8 quantizes the
+        images on device (4x less device->host traffic)."""
         out, motion = C.swap_with_motion_jit(
             self.core, self.params, frames01, source_id,
-            with_debug=with_debug,
+            with_debug=with_debug, as_uint8=as_uint8,
         )
-        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        if not as_uint8:
+            out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         return out, motion
+
+    def parse_masks_uint8(self, crops256: np.ndarray) -> np.ndarray:
+        """parse_masks with on-device uint8 quantization (0..255) for cheap
+        host transfer; host divides by 255 where a float mask is needed."""
+        soft = self.parse_masks(crops256)
+        q = jnp.clip(soft * 255.0, 0, 255).astype(jnp.uint8)
+        return np.asarray(q)
 
     def swap_batch(
         self, frames01: jax.Array, source_id: jax.Array, motion: dict,

@@ -126,11 +126,11 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
         frames, crops, m_c2o, valid = item
         with timer.stage("device/swap", items=valid):
             frames01 = session.prepare_frames(crops)
-            out, _ = session.swap_with_motion(frames01, source_id)
-            masks = np.asarray(session.parse_masks(crops))
-            res = np.clip(
-                np.asarray(out["out"], np.float32) * 255, 0, 255
-            ).astype(np.uint8)
+            out, _ = session.swap_with_motion(
+                frames01, source_id, as_uint8=True
+            )
+            masks = session.parse_masks_uint8(crops).astype(np.float32) / 255.0
+            res = np.asarray(out["out"])
         out_q.put((frames, res, masks, m_c2o, valid))
         n_done += valid
         if n_done % (batch * 8) == 0:

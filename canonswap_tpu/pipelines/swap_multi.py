@@ -75,11 +75,11 @@ def execute(session: FaceSwapSession, args: ArgumentConfig, max_faces: int = 4):
             if pad:
                 idx = np.concatenate([idx, np.full(pad, hi - 1)])
             frames01 = session.prepare_frames(crops[idx])
-            out, _ = session.swap_with_motion(frames01, source_id)
-            res = np.clip(
-                np.asarray(out["out"], np.float32) * 255, 0, 255
-            ).astype(np.uint8)
-            m = np.asarray(session.parse_masks(crops[idx]))
+            out, _ = session.swap_with_motion(
+                frames01, source_id, as_uint8=True
+            )
+            res = np.asarray(out["out"])
+            m = session.parse_masks_uint8(crops[idx]).astype(np.float32) / 255.0
             swapped.extend(res[: hi - lo])
             masks.extend(m[: hi - lo])
         for t in range(n_frames):

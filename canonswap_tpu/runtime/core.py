@@ -256,15 +256,24 @@ def swap_with_motion(
     source_id: jax.Array,
     *,
     with_debug: bool = False,
+    as_uint8: bool = False,
 ):
     """Fused motion extraction + swap step: ONE device dispatch per batch
     (each dispatch through the remote-TPU relay costs ~tens of ms).
+
+    ``as_uint8`` quantizes the output images on device — a 4x cut in
+    device->host transfer volume (the pipeline's main off-chip cost).
 
     Returns (outputs dict, motion dict)."""
     motion = extract_motion(core, params, frames)
     out = swap_step(
         core, params, frames, source_id, motion, with_debug=with_debug
     )
+    if as_uint8:
+        out = {
+            k: jnp.clip(v.astype(jnp.float32) * 255.0, 0, 255).astype(jnp.uint8)
+            for k, v in out.items()
+        }
     return out, motion
 
 
@@ -272,7 +281,8 @@ def swap_with_motion(
 
 swap_step_jit = jax.jit(swap_step, static_argnums=0, static_argnames=("with_debug",))
 swap_with_motion_jit = jax.jit(
-    swap_with_motion, static_argnums=0, static_argnames=("with_debug",)
+    swap_with_motion, static_argnums=0,
+    static_argnames=("with_debug", "as_uint8"),
 )
 extract_motion_jit = jax.jit(extract_motion, static_argnums=0)
 appearance_features_jit = jax.jit(appearance_features, static_argnums=0)
