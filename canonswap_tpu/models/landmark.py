@@ -92,7 +92,7 @@ class Landmark106Runner:
         """bbox -> 2x3 affine img->crop (center crop, scale 1.5)."""
         w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
         cx, cy = (bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2
-        s = self.input_size / (max(w, h) * 1.5)
+        s = self.input_size / (max(w, h, 1e-3) * 1.5)  # guard zero-size boxes
         t = self.input_size / 2
         return np.array(
             [[s, 0, t - s * cx], [0, s, t - s * cy]], np.float32
