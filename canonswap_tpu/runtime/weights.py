@@ -212,7 +212,19 @@ def _adaptive_conv(tb, path, sd, tkey):
 # --------------------------------------------------------------------------
 
 
-def convert_appearance(sd: StateDict, num_down_blocks=2, num_resblocks=6) -> dict:
+def _count(sd: StateDict, fmt: str) -> int:
+    """Count consecutive indices i for which fmt.format(i) is a key."""
+    i = 0
+    while fmt.format(i) in sd:
+        i += 1
+    return i
+
+
+def convert_appearance(sd: StateDict, num_down_blocks=None, num_resblocks=None) -> dict:
+    if num_down_blocks is None:
+        num_down_blocks = _count(sd, "down_blocks.{}.conv.weight")
+    if num_resblocks is None:
+        num_resblocks = _count(sd, "resblocks_3d.3dr{}.conv1.weight")
     tb = _TreeBuilder()
     _same_block(tb, "first", sd, "first")
     for i in range(num_down_blocks):
@@ -223,7 +235,12 @@ def convert_appearance(sd: StateDict, num_down_blocks=2, num_resblocks=6) -> dic
     return tb.variables()
 
 
-def convert_motion(sd: StateDict, depths=(3, 3, 9, 3)) -> dict:
+def convert_motion(sd: StateDict, depths=None) -> dict:
+    if depths is None:
+        depths = tuple(
+            _count(sd, "detector.stages." + str(i) + ".{}.dwconv.weight")
+            for i in range(4)
+        )
     tb = _TreeBuilder()
     d = "detector/"
     tb.put(d + "stem_conv", _conv(sd, "detector.downsample_layers.0.0"))
@@ -252,7 +269,11 @@ def convert_motion(sd: StateDict, depths=(3, 3, 9, 3)) -> dict:
     return tb.variables()
 
 
-def convert_warping(sd: StateDict, num_hourglass_blocks=5) -> dict:
+def convert_warping(sd: StateDict, num_hourglass_blocks=None) -> dict:
+    if num_hourglass_blocks is None:
+        num_hourglass_blocks = _count(
+            sd, "dense_motion_network.hourglass.encoder.down_blocks.{}.conv.weight"
+        )
     tb = _TreeBuilder()
     dm = "dense_motion_network"
     tb.put(f"{dm}/compress", _conv(sd, f"{dm}.compress"))
@@ -280,7 +301,11 @@ def convert_spade(sd: StateDict) -> dict:
     return tb.variables()
 
 
-def convert_transfer(sd: StateDict, n_blocks=7, n_res3d=6) -> dict:
+def convert_transfer(sd: StateDict, n_blocks=None, n_res3d=None) -> dict:
+    if n_blocks is None:
+        n_blocks = _count(sd, "BottleNeck_2d.{}.conv1.weight")
+    if n_res3d is None:
+        n_res3d = _count(sd, "resblocks_3d.3dr{}.conv1.weight")
     tb = _TreeBuilder()
     for i in range(n_blocks):
         t = f"BottleNeck_2d.{i}"
@@ -300,7 +325,12 @@ def convert_refine(sd: StateDict) -> dict:
     return tb.variables()
 
 
-def convert_arcface(sd: StateDict, layers=(3, 4, 23, 3)) -> dict:
+def convert_arcface(sd: StateDict, layers=None) -> dict:
+    if layers is None:
+        layers = tuple(
+            _count(sd, "layer" + str(li) + ".{}.conv1.weight")
+            for li in range(1, 5)
+        )
     tb = _TreeBuilder()
     tb.put("conv1", _conv(sd, "conv1", bias=False))
     tb.put_bn("bn1", sd, "bn1")
