@@ -11,6 +11,13 @@ Converts the reference's checkpoint files into this framework's .npz format
 
   # the stitching/retargeting checkpoint (helper.py:157-181)
   python -m canonswap_tpu.cli.convert stitching stitching_retargeting_module.pth s.npz
+
+  # insightface ONNX sidecars (model_zoo/scrfd.py:72-110, landmark.py:31-49,
+  # arcface_onnx.py:14-38) -> flax weights, topology-mapped (runtime/onnx_map)
+  python -m canonswap_tpu.cli.convert det_onnx det_10g.onnx det.npz
+  python -m canonswap_tpu.cli.convert lmk106_onnx 2d106det.onnx lmk106.npz
+  python -m canonswap_tpu.cli.convert lmk203_onnx landmark.onnx lmk203.npz
+  python -m canonswap_tpu.cli.convert arcface_onnx glintr100.onnx arc.npz
 """
 
 from __future__ import annotations
@@ -21,14 +28,45 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="canonswap-tpu-convert")
-    ap.add_argument("kind", choices=["combined", "arcface", "stitching"])
-    ap.add_argument("src", help="torch checkpoint path (.pth/.tar)")
+    ap.add_argument(
+        "kind",
+        choices=["combined", "arcface", "stitching", "det_onnx",
+                 "lmk106_onnx", "lmk203_onnx", "arcface_onnx"],
+    )
+    ap.add_argument("src", help="torch checkpoint (.pth/.tar) or .onnx path")
     ap.add_argument("dst", help="output .npz path")
     ns = ap.parse_args(argv)
 
+    from canonswap_tpu.runtime import checkpoint as CK
+
+    if ns.kind.endswith("_onnx"):
+        import jax.numpy as jnp
+
+        from canonswap_tpu.runtime.onnx_map import convert_onnx_for
+
+        if ns.kind == "det_onnx":
+            from canonswap_tpu.models.scrfd import SCRFD
+
+            tree = convert_onnx_for(SCRFD(), ns.src,
+                                    jnp.zeros((1, 640, 640, 3)))
+        elif ns.kind == "arcface_onnx":
+            from canonswap_tpu.models.arcface import ArcFaceResNet
+
+            tree = convert_onnx_for(ArcFaceResNet(), ns.src,
+                                    jnp.zeros((1, 112, 112, 3)))
+        else:
+            from canonswap_tpu.models.landmark import LandmarkNet
+
+            pts = 106 if ns.kind == "lmk106_onnx" else 203
+            size = 192 if pts == 106 else 224
+            tree = convert_onnx_for(LandmarkNet(num_points=pts), ns.src,
+                                    jnp.zeros((1, size, size, 3)))
+        CK.save_npz(ns.dst, tree)
+        print(f"Converted {ns.src} -> {ns.dst}")
+        return
+
     import torch
 
-    from canonswap_tpu.runtime import checkpoint as CK
     from canonswap_tpu.runtime import weights as W
 
     if ns.kind == "combined":

@@ -58,6 +58,9 @@ class SpadeConfig:
     max_features: int = 512
     num_down_blocks: int = 2
     out_channels: int = 64
+    # live power-iteration spectral norm on the SPADE convs (training from
+    # scratch); converted inference checkpoints have it baked in instead.
+    spectral_norm: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,10 @@ class ArgumentConfig:
     flag_relative_motion: bool = False
     flag_pasteback: bool = True
     flag_do_crop: bool = True
+    # Kalman-smooth the motion template along the frame axis before the swap
+    # pass (reference src/utils/filter.py:8-19, shipped-but-unwired there;
+    # wired here behind this flag).  Forces the two-pass (template-first) path.
+    flag_smooth_motion: bool = False
     audio_priority: Literal["source", "driving"] = "driving"
 
     # source crop args
@@ -65,6 +69,7 @@ class InferenceConfig:
     flag_pasteback: bool = True
     flag_do_crop: bool = True
     flag_do_rot: bool = True
+    flag_smooth_motion: bool = False
 
     source_max_dim: int = 1280
     source_division: int = 2

@@ -104,7 +104,6 @@ class DenseMotionNetwork(nn.Module):
                          epsilon=1e-5, name="norm")(x)
         x = nn.relu(x)
 
-        sparse_motion = create_sparse_motions((d, h, w), kp_driving, kp_source)
         deformed = create_deformed_feature_translated(
             x, kp_driving, kp_source
         )  # (B,K+1,D,H,W,Cc)
@@ -139,9 +138,14 @@ class DenseMotionNetwork(nn.Module):
         # decomposition halves it on TPU (bench: 42.8 -> 21.0 ms/step)
         mask = Conv3D(k + 1, (7, 7, 7), name="mask")(prediction)
         mask = jax.nn.softmax(mask, axis=-1)  # (B, D, H, W, K+1)
-        deformation = jnp.einsum(
-            "bkdhwc,bdhwk->bdhwc", sparse_motion, mask
-        )
+        # combine WITHOUT materializing the (B,K+1,D,H,W,3) sparse-motion
+        # stack: sum_k mask_k * (grid + shift_k) distributes into
+        # grid * sum(mask) + mask[1:] . shifts (shift_0 = 0).  Identical math
+        # reassociated; saves ~0.5 GB of intermediate per 16-frame step.
+        grid = make_coordinate_grid_3d((d, h, w), mask.dtype)
+        shifts = (kp_source - kp_driving).astype(mask.dtype)  # (B, K, 3)
+        deformation = grid[None] * jnp.sum(mask, axis=-1, keepdims=True) \
+            + jnp.einsum("bdhwk,bkc->bdhwc", mask[..., 1:], shifts)
 
         out = {"deformation": deformation, "mask": mask}
         if self.estimate_occlusion_map:

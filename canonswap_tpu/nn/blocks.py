@@ -229,10 +229,25 @@ class SPADE(nn.Module):
 
 
 class SPADEResnetBlock(nn.Module):
-    """SPADE residual block (util.py:305-344); spectral norm baked in weights."""
+    """SPADE residual block (util.py:305-344).
+
+    Inference checkpoints carry spectral norm baked into conv_0/conv_1/conv_s
+    (runtime/weights.py::_conv_spectral); set ``sn=True`` for from-scratch
+    training to apply live power-iteration spectral norm instead
+    (nn/spectral.py) — param names are identical either way.
+    """
 
     fin: int
     fout: int
+    sn: bool = False
+
+    def _conv(self, features, kernel, name, use_bias=True):
+        if self.sn:
+            from canonswap_tpu.nn.spectral import SNConv
+
+            return SNConv(features, kernel, use_bias=use_bias, name=name)
+        return nn.Conv(features, kernel, padding="SAME", use_bias=use_bias,
+                       name=name)
 
     @nn.compact
     def __call__(self, x, seg):
@@ -240,15 +255,11 @@ class SPADEResnetBlock(nn.Module):
         learned_shortcut = self.fin != self.fout
         if learned_shortcut:
             x_s = SPADE(name="norm_s")(x, seg)
-            x_s = nn.Conv(self.fout, (1, 1), use_bias=False, name="conv_s")(x_s)
+            x_s = self._conv(self.fout, (1, 1), "conv_s", use_bias=False)(x_s)
         else:
             x_s = x
         dx = SPADE(name="norm_0")(x, seg)
-        dx = nn.Conv(fmiddle, (3, 3), padding="SAME", name="conv_0")(
-            nn.leaky_relu(dx, 0.2)
-        )
+        dx = self._conv(fmiddle, (3, 3), "conv_0")(nn.leaky_relu(dx, 0.2))
         dx = SPADE(name="norm_1")(dx, seg)
-        dx = nn.Conv(self.fout, (3, 3), padding="SAME", name="conv_1")(
-            nn.leaky_relu(dx, 0.2)
-        )
+        dx = self._conv(self.fout, (3, 3), "conv_1")(nn.leaky_relu(dx, 0.2))
         return x_s + dx

@@ -23,6 +23,15 @@ from jax import lax
 
 _DN_2D = ("NHWC", "HWIO", "NHWC")
 
+# experiment hook: force one implementation everywhere ("auto" heuristics are
+# tuned from tools/profile_stages.py measurements on the real chip)
+_IMPL_OVERRIDE: str | None = None
+
+
+def set_impl_override(impl: str | None) -> None:
+    global _IMPL_OVERRIDE
+    _IMPL_OVERRIDE = impl
+
 
 def conv3d_decomposed(x: jax.Array, kernel: jax.Array,
                       bias: jax.Array | None = None) -> jax.Array:
@@ -123,7 +132,7 @@ class Conv3D(nn.Module):
             if self.use_bias
             else None
         )
-        impl = self.impl
+        impl = _IMPL_OVERRIDE or self.impl
         if impl == "auto":
             kd = self.kernel_size[0]
             impl = (

@@ -92,6 +92,32 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
                 k: np.asarray(v) for k, v in cached["motion"].items()
             }
             log(f"Loaded motion template from {template_path}")
+    # Optional Kalman smoothing of the motion template (reference
+    # src/utils/filter.py:8-19 analogue, wired behind flag_smooth_motion).
+    # Needs the whole sequence, so it forces the two-pass path: extract the
+    # template for all frames first, smooth along the frame axis, then swap.
+    if (
+        getattr(inf_cfg, "flag_smooth_motion", False)
+        and flag_is_video
+        and n_frames > 1
+        and motion_all is None
+    ):
+        from canonswap_tpu.utils.smoothing import smooth
+
+        chunks = []
+        for lo, hi in _batched(n_frames, batch):
+            idx = np.arange(lo, hi)
+            pad = batch - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, hi - 1)])
+            m = session.motion_template(session.prepare_frames(crops_256[idx]))
+            chunks.append({k: np.asarray(v)[: hi - lo] for k, v in m.items()})
+        motion_all = {
+            k: smooth(np.concatenate([c[k] for c in chunks]))
+            for k in chunks[0]
+        }
+        log("Motion template Kalman-smoothed")
+
     use_fused = motion_all is None  # no cache: fuse motion+swap per batch
     motion_chunks = []
 

@@ -195,3 +195,59 @@ def load_onnx(path_or_bytes) -> OnnxGraph:
         if field == 7 and wtype == 2:  # ModelProto.graph
             return _parse_graph(val)
     raise ValueError("no GraphProto found — not an ONNX ModelProto?")
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (inverse of the parser).  Used to build synthetic ONNX
+# fixtures in tests (no real insightface .onnx ships with the reference) and
+# to round-trip-check the parser itself.
+# ---------------------------------------------------------------------------
+
+_NP_TO_ONNX = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _enc_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_ld(field: int, payload: bytes) -> bytes:
+    return _enc_varint((field << 3) | 2) + _enc_varint(len(payload)) + payload
+
+
+def _enc_int(field: int, val: int) -> bytes:
+    return _enc_varint((field << 3) | 0) + _enc_varint(val)
+
+
+def build_tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    out = b"".join(_enc_int(1, d) for d in arr.shape)
+    out += _enc_int(2, _NP_TO_ONNX[arr.dtype])
+    out += _enc_ld(8, name.encode("utf-8"))
+    out += _enc_ld(9, arr.tobytes())
+    return out
+
+
+def build_node(op_type: str, inputs, outputs, name: str = "") -> bytes:
+    out = b"".join(_enc_ld(1, i.encode("utf-8")) for i in inputs)
+    out += b"".join(_enc_ld(2, o.encode("utf-8")) for o in outputs)
+    if name:
+        out += _enc_ld(3, name.encode("utf-8"))
+    out += _enc_ld(4, op_type.encode("utf-8"))
+    return out
+
+
+def build_onnx(nodes: list[bytes], initializers: dict[str, np.ndarray]) -> bytes:
+    """Assemble a ModelProto byte string from encoded nodes + initializers."""
+    graph = b"".join(_enc_ld(1, n) for n in nodes)
+    graph += b"".join(
+        _enc_ld(5, build_tensor(k, v)) for k, v in initializers.items()
+    )
+    return _enc_ld(7, graph)

@@ -29,3 +29,27 @@ jax.config.update("jax_enable_x64", False)
 # mixing them loads AOT results built for a different machine)
 jax.config.update("jax_compilation_cache_dir", "/tmp/canonswap_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m "not slow"` is the quick commit gate (<~2 min);
+# the full suite (including torch-oracle parity and e2e media pipelines)
+# exceeds 9 minutes on this single-core host.
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_pipeline_e2e",
+    "test_reference_parity",
+    "test_parsing_parity",
+    "test_train_and_parallel",
+    "test_convert_cli",
+    "test_stitching_cli",
+    "test_golden_chain",
+    "test_video_and_weights",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

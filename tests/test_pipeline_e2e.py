@@ -130,3 +130,31 @@ def test_swap_e2e_square_noncrop_blend_path(session, media, tmp_path):
         assert osp.exists(wfp)
     finally:
         session.inference_cfg.flag_crop_driving_video = old
+
+
+def test_swap_e2e_smooth_motion(session, media, tmp_path):
+    """flag_smooth_motion forces the two-pass template path and runs the
+    Kalman RTS smoother over the motion template (reference filter.py:8-19
+    analogue) before the swap pass."""
+    rng = np.random.default_rng(5)
+    drv = media / "drv_smooth.mp4"
+    w = cv2.VideoWriter(str(drv), cv2.VideoWriter_fourcc(*"mp4v"), 25, (160, 120))
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (120, 160, 3), np.uint8))
+    w.release()
+    old = session.inference_cfg.flag_smooth_motion
+    session.inference_cfg.flag_smooth_motion = True
+    try:
+        args = ArgumentConfig(
+            source=str(media / "source.png"), driving=str(drv),
+            output_dir=str(tmp_path / "out_smooth"),
+        )
+        wfp, _ = swap_e2e.execute(session, args)
+        assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+        cap = cv2.VideoCapture(wfp)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 4
+    finally:
+        session.inference_cfg.flag_smooth_motion = old

@@ -1,0 +1,76 @@
+"""Scan-slope micro-benchmark helper for the axon TPU relay.
+
+Per-call wall timing lies through the relay (dispatch acks before
+execution), so the only honest timing is N data-dependent chained steps
+inside one jitted lax.scan, differencing two scan lengths.  Same method as
+bench.py, packaged for arbitrary functions.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/canonswap_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _perturb(carry, chk):
+    def f(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return a + (0.0 * chk).astype(a.dtype)
+        return a
+
+    return jax.tree.map(f, carry)
+
+
+def scan_slope_time(fn, inputs, n_long: int = 4, n_short: int = 1,
+                    reps: int = 2) -> float:
+    """Seconds per single application of ``fn(*inputs)`` on device.
+
+    ``inputs`` is a tuple of arrays/pytrees; iteration i+1's inputs depend on
+    iteration i's outputs via a zero-scaled checksum, forcing serialization.
+    """
+
+    def make(n):
+        @jax.jit
+        def run(inputs):
+            def body(carry, _):
+                out = fn(*carry)
+                leaves = [
+                    jnp.mean(x.astype(jnp.float32))
+                    for x in jax.tree.leaves(out)
+                    if hasattr(x, "astype")
+                ]
+                chk = jnp.sum(jnp.stack(leaves))
+                return _perturb(carry, chk), chk
+
+            _, chks = jax.lax.scan(body, inputs, None, length=n)
+            return jnp.sum(chks)
+
+        return run
+
+    run_long, run_short = make(n_long), make(n_short)
+
+    def t(run):
+        t0 = time.perf_counter()
+        v = float(run(inputs))
+        assert v == v, "NaN checksum"
+        return time.perf_counter() - t0
+
+    t(run_short)  # compile
+    t(run_long)
+    ts = min(t(run_short) for _ in range(reps))
+    tl = min(t(run_long) for _ in range(reps))
+    return (tl - ts) / (n_long - n_short)
+
+
+def cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
