@@ -40,10 +40,20 @@ class FaceSwapSession:
         parsing_cfg: P.SegformerConfig | None = None,
         landmark_widths: tuple[int, ...] = (32, 64, 128, 256),
         fast_init: bool = False,
+        mesh=None,
     ):
         """``fast_init`` skips random weight initialization (zeros via
         eval_shape) — for benchmark/demo runs where a checkpoint will be
-        loaded or weights don't matter; saves minutes of single-core CPU."""
+        loaded or weights don't matter; saves minutes of single-core CPU.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` (parallel.mesh.make_mesh).
+        When given, INFERENCE runs multi-chip: generator/sidecar params are
+        placed per ``param_sharding`` (tp over 'model' when >1, else
+        replicated) and every frame batch is sharded over the 'data' axis —
+        XLA inserts the collectives.  This replaces the reference's
+        single-device select (can_swap_e2e.py:49-58) with real scale-out.
+        Frame batches must be divisible by the data-axis size."""
+        self.mesh = mesh
         self.inference_cfg = inference_cfg or InferenceConfig()
         self.crop_cfg = crop_cfg or CropConfig()
         self.model_cfg = model_cfg
@@ -77,6 +87,17 @@ class FaceSwapSession:
                 self.params,
             )
         self.compute_dtype = jnp.bfloat16 if self.half else jnp.float32
+        if self.mesh is not None:
+            from canonswap_tpu.parallel import mesh as M
+
+            if self.inference_cfg.batch_size % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {self.inference_cfg.batch_size} not divisible"
+                    f" by data axis {self.mesh.shape['data']}"
+                )
+            self.params = jax.device_put(
+                self.params, M.param_sharding(self.params, self.mesh)
+            )
 
         # perception stack
         det_params = None
@@ -122,6 +143,16 @@ class FaceSwapSession:
             keys[5], jnp.zeros((1, 112, 112, 3))
         )
         self._arcface_apply = jax.jit(self.arcface.apply)
+        if self.mesh is not None:
+            from canonswap_tpu.parallel import mesh as M
+
+            # sidecars are small: replicate, shard their batches over 'data'
+            self.parsing_params = jax.device_put(
+                self.parsing_params, M.replicated(self.mesh)
+            )
+            self.arcface_params = jax.device_put(
+                self.arcface_params, M.replicated(self.mesh)
+            )
 
         # jitted batched stages
         self._extract_motion = C.extract_motion_jit
@@ -177,6 +208,7 @@ class FaceSwapSession:
         can_swap_pipeline_e2e.py:177-191, 275)."""
         out = self.model_cfg.output_size
         x = P.preprocess(jnp.asarray(crops256))
+        x = self._place_batch(x)
         logits = self._parse(self.parsing_params, x)
         mask = P.face_mask_from_logits(logits, (out, out))
         soft, _ = self._soft_erosion(mask)
@@ -229,4 +261,13 @@ class FaceSwapSession:
                 x = jnp.asarray(frames_uint8.astype(np.float32) / 255.0)
         except Exception:
             x = jnp.asarray(frames_uint8.astype(np.float32) / 255.0)
-        return x.astype(self.compute_dtype)
+        return self._place_batch(x.astype(self.compute_dtype))
+
+    def _place_batch(self, x):
+        """Shard a leading-batch array over the mesh data axis (no-op
+        single-device)."""
+        if self.mesh is None:
+            return x
+        from canonswap_tpu.parallel import mesh as M
+
+        return M.shard_batch(x, self.mesh)

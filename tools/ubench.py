@@ -18,9 +18,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _perturb(carry, chk):
+    # NOT 0.0*chk: XLA's algebraic simplifier folds that to 0 and then hoists
+    # the whole body out of the scan (observed: 0.01ms "convs").  1e-38*chk
+    # is numerically zero after rounding into O(1) carries but unfoldable.
     def f(a):
         if jnp.issubdtype(a.dtype, jnp.floating):
-            return a + (0.0 * chk).astype(a.dtype)
+            return a + (1e-38 * chk).astype(a.dtype)
         return a
 
     return jax.tree.map(f, carry)
