@@ -1,8 +1,14 @@
-"""Benchmark: swapped 512p frames/sec/chip for the CanonSwap-TPU core.
+"""Benchmark: swapped 512p frames/sec/chip, end-to-end device path.
 
-Measures the full per-frame generator program (motion extraction + appearance
-encode + warp-to-canonical + identity injection + refine + warp-back + SPADE
-decode to 512x512), batched over frames, bf16 compute.
+Headline metric (what BASELINE.md names): the full per-frame ON-DEVICE work
+of the e2e video pipeline — 203-pt landmark tracking (224^2), Segformer face
+parsing (512^2 -> swap-region mask), and the generator (motion extraction +
+appearance encode + warp-to-canonical + identity injection + refine +
+warp-back + SPADE decode to 512x512) — batched over frames, bf16 compute.
+Matches the reference's three per-frame hot loops
+(can_swap_pipeline_e2e.py:111,178,223 plus the per-frame landmark track at
+cropper.py:186-190).  Per-video setup (SCRFD detect, 106-lmk, ArcFace ID)
+is excluded, as in the reference it runs once per clip.
 
 Methodology: the remote-TPU relay in this environment makes per-call wall
 timing unreliable (dispatch acks before execution).  So we run N chained
@@ -10,14 +16,17 @@ steps INSIDE one jitted lax.scan — each iteration's input depends on the
 previous output — and time until a scalar derived from all outputs is
 fetched to host.  Two scan lengths difference out fixed per-call overhead.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = value / 60 (BASELINE.md target: >=60 frames/sec/chip).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
+where vs_baseline = value / 60 (BASELINE.md target: >=60 frames/sec/chip)
+and extra carries the sub-metrics (core generator only; multi-face with two
+faces per frame).
 
 Env knobs:
   CANONSWAP_BENCH_BATCH  frame batch size (default 16)
   CANONSWAP_BENCH_DTYPE  bf16 (default) | f32
   CANONSWAP_BENCH_N      long scan length (default 4; short = 1). Long
                          single programs can trip the TPU watchdog; keep <= 8.
+  CANONSWAP_BENCH_ONLY   comma list of {e2e, core, multiface} (default all)
 """
 
 from __future__ import annotations
@@ -43,34 +52,52 @@ def _cast(tree, dtype):
     )
 
 
-def make_scan_fn(core, n_steps: int):
-    from canonswap_tpu.runtime import core as C
+def make_scan_fn(step_fn, n_steps: int):
+    """step_fn(carry_frames) -> scalar checksum; chained n_steps times."""
 
     @jax.jit
-    def run(params, frames, source_id):
+    def run(frames):
         def body(carry, _):
-            f = carry
-            motion = C.extract_motion(core, params, f)
-            out = C.swap_step(core, params, f, source_id, motion)["out"]
-            chk = jnp.mean(out.astype(jnp.float32))
+            chk = step_fn(carry)
             # feed a zero-scaled checksum back in: forces serialization
-            f = f + (0.0 * chk).astype(f.dtype)
+            f = carry + (0.0 * chk).astype(carry.dtype)
             return f, chk
+
         _, chks = jax.lax.scan(body, frames, None, length=n_steps)
         return jnp.sum(chks)
 
     return run
 
 
-def timed(run, params, frames, sid) -> float:
+def timed(run, frames) -> float:
     t0 = time.perf_counter()
-    val = float(run(params, frames, sid))  # fetch forces full execution
+    val = float(run(frames))  # fetch forces full execution
     assert val == val, "NaN checksum"
     return time.perf_counter() - t0
 
 
+def slope_fps(step_fn, frames, batch, n_long):
+    run_long = make_scan_fn(step_fn, n_long)
+    run_short = make_scan_fn(step_fn, 1)
+    timed(run_short, frames)  # compile
+    timed(run_long, frames)
+    t_short = min(timed(run_short, frames) for _ in range(2))
+    t_long = min(timed(run_long, frames) for _ in range(2))
+    step_time = (t_long - t_short) / (n_long - 1)
+    print(
+        f"#   t_short={t_short:.3f}s t_long={t_long:.3f}s "
+        f"step={step_time * 1000:.2f}ms",
+        file=sys.stderr,
+    )
+    return batch / step_time
+
+
 def main():
     from canonswap_tpu.configs.model_config import CANONICAL
+    from canonswap_tpu.models.landmark import Landmark203Runner
+    from canonswap_tpu.models.parsing import (
+        Segformer, SegformerConfig, face_mask_from_logits, preprocess,
+    )
     from canonswap_tpu.runtime import core as C
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
@@ -78,42 +105,73 @@ def main():
     ]
     batch = int(os.environ.get("CANONSWAP_BENCH_BATCH", "16"))
     n_long = int(os.environ.get("CANONSWAP_BENCH_N", "4"))
-    n_short = 1
+    only = os.environ.get("CANONSWAP_BENCH_ONLY", "e2e,core,multiface").split(",")
 
     core = C.CanonSwapCore(CANONICAL)
     with jax.default_device(jax.devices("cpu")[0]):
         params_f32 = core.init_params(jax.random.PRNGKey(0))
-    params = jax.device_put(_cast(params_f32, dtype), jax.devices()[0])
-    del params_f32
+        lmk = Landmark203Runner(rng=jax.random.PRNGKey(1))
+        seg = Segformer(SegformerConfig())
+        seg_p_f32 = seg.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 512, 512, 3))
+        )
+    dev = jax.devices()[0]
+    params = jax.device_put(_cast(params_f32, dtype), dev)
+    lmk_p = jax.device_put(_cast(lmk.params, dtype), dev)
+    seg_p = jax.device_put(_cast(seg_p_f32, dtype), dev)
+    del params_f32, seg_p_f32
 
     s = core.cfg.input_size
     frames = jnp.full((batch, s, s, 3), 0.5, dtype)
     sid = jnp.ones((batch, core.cfg.swap.latent_dim), dtype)
 
-    run_long = make_scan_fn(core, n_long)
-    run_short = make_scan_fn(core, n_short)
+    def generator_chk(f, n_faces=1):
+        chk = jnp.zeros((), jnp.float32)
+        for i in range(n_faces):
+            face_sid = sid if i == 0 else sid * 0.5
+            out, _ = C.swap_with_motion(core, params, f, face_sid)
+            chk = chk + jnp.mean(out["out"].astype(jnp.float32))
+        return chk
 
-    # warmup / compile both
-    timed(run_short, params, frames, sid)
-    timed(run_long, params, frames, sid)
+    def sidecars_chk(f):
+        # 203-lmk tracking on 224^2 crops + Segformer parsing of the 512^2
+        # region (both derived from the frame batch, keeping one data path)
+        from canonswap_tpu.ops.resize import bilinear_resize
 
-    t_short = min(timed(run_short, params, frames, sid) for _ in range(2))
-    t_long = min(timed(run_long, params, frames, sid) for _ in range(2))
-    step_time = (t_long - t_short) / (n_long - n_short)
-    fps = batch / step_time
-    print(
-        f"# batch={batch} dtype={dtype.__name__} t_short={t_short:.3f}s "
-        f"t_long={t_long:.3f}s step={step_time * 1000:.2f}ms",
-        file=sys.stderr,
-    )
+        crop224 = bilinear_resize(f, (224, 224)) * 255.0
+        pts = lmk.net.apply(lmk_p, crop224)
+        big = bilinear_resize(f, (512, 512)) * 255.0
+        logits = seg.apply(seg_p, preprocess(big.astype(dtype)).astype(dtype))
+        mask = face_mask_from_logits(logits)
+        return jnp.mean(pts.astype(jnp.float32)) + jnp.mean(mask)
 
+    results = {}
+    if "core" in only:
+        print("# core_generator", file=sys.stderr)
+        results["core_generator"] = slope_fps(
+            generator_chk, frames, batch, n_long)
+    if "e2e" in only:
+        print("# e2e (landmark + parsing + generator)", file=sys.stderr)
+        results["e2e"] = slope_fps(
+            lambda f: generator_chk(f) + sidecars_chk(f), frames, batch, n_long)
+    if "multiface" in only:
+        print("# multiface (2 faces/frame, e2e)", file=sys.stderr)
+        results["multiface_2"] = slope_fps(
+            lambda f: generator_chk(f, n_faces=2) + sidecars_chk(f),
+            frames, batch, n_long)
+
+    headline = results.get("e2e") or next(iter(results.values()))
+    extra = {k: round(v, 2) for k, v in results.items()}
+    extra["batch"] = batch
+    extra["dtype"] = dtype.__name__
     print(
         json.dumps(
             {
-                "metric": "swapped_512p_frames_per_sec_per_chip(core_generator)",
-                "value": round(fps, 2),
+                "metric": "swapped_512p_frames_per_sec_per_chip(e2e)",
+                "value": round(headline, 2),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(fps / 60.0, 3),
+                "vs_baseline": round(headline / 60.0, 3),
+                "extra": extra,
             }
         )
     )

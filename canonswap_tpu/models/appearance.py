@@ -34,6 +34,11 @@ class AppearanceFeatureExtractor(nn.Module):
         x = x.reshape(b, h, w, c.reshape_channel, c.reshape_depth)
         x = x.transpose(0, 4, 1, 2, 3)  # (B, D, H, W, C)
 
+        # the 32-channel resblock chain runs space-to-depth packed (exact;
+        # ~4x MXU fill — conv3d.pack_hw2), one pack/unpack for the chain
+        from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
+
+        x = pack_hw2(x)
         for i in range(c.num_resblocks):
-            x = ResBlock3d(name=f"res3d_{i}")(x, train)
-        return x
+            x = ResBlock3d(name=f"res3d_{i}", packed=True)(x, train)
+        return unpack_hw2(x)

@@ -8,22 +8,26 @@ from __future__ import annotations
 from flax import linen as nn
 
 from canonswap_tpu.nn.blocks import ResBlock2d, ResBlock3dLeakGN
+from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
 from canonswap_tpu.ops.resize import volume_from_2d, volume_to_2d
 
 
 class RefineModule(nn.Module):
     @nn.compact
     def __call__(self, volume, train: bool = False):
-        """(B, D, H, W, C) -> (B, D, H, W, C)."""
+        """(B, D, H, W, C) -> (B, D, H, W, C).
+
+        The 32-channel 3D chains run space-to-depth packed (exact numerics,
+        ~4x MXU fill; see conv3d.pack_hw2)."""
         c = volume.shape[-1]
         d = volume.shape[1]
-        x = volume
+        x = pack_hw2(volume)
         for i in range(3):
-            x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}")(x)
-        x = volume_to_2d(x)
+            x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}", packed=True)(x)
+        x = volume_to_2d(unpack_hw2(x))
         for i in range(3):
             x = ResBlock2d(name=f"res2d_{i}")(x, train)
-        x = volume_from_2d(x, d)
+        x = pack_hw2(volume_from_2d(x, d))
         for i in range(3):
-            x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}")(x)
-        return x
+            x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}", packed=True)(x)
+        return unpack_hw2(x)

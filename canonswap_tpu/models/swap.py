@@ -89,9 +89,12 @@ class SwapModule(nn.Module):
                 cd, self.cfg.latent_dim, name=f"bottleneck2d_{i}"
             )(x, id_latent)
             masks.append(mask)
-        x = volume_from_2d(x, d)
+        from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
+
+        x = pack_hw2(volume_from_2d(x, d))
         for i in range(self.cfg.n_resblocks_3d):
-            x = ResBlock3d(name=f"res3d_{i}")(x, train)
+            x = ResBlock3d(name=f"res3d_{i}", packed=True)(x, train)
+        x = unpack_hw2(x)
         if return_mask:
             return x, masks
         return x

@@ -65,10 +65,12 @@ class DownBlock3d(nn.Module):
     """Conv3d -> BN -> ReLU -> AvgPool(1,2,2) (util.py:169-190)."""
 
     features: int
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv3D(self.features, (3, 3, 3), name="Conv_0")(x)
+        x = Conv3D(self.features, (3, 3, 3), name="Conv_0",
+                   impl=self.conv_impl)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         return avg_pool(x, (1, 2, 2))
@@ -78,11 +80,13 @@ class UpBlock3d(nn.Module):
     """Nearest(1,2,2) -> Conv3d -> BN -> ReLU (util.py:130-147)."""
 
     features: int
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nearest_upsample(x, (1, 2, 2))
-        x = Conv3D(self.features, (3, 3, 3), name="Conv_0")(x)
+        x = Conv3D(self.features, (3, 3, 3), name="Conv_0",
+                   impl=self.conv_impl)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(x)
 
@@ -106,20 +110,34 @@ class ResBlock2d(nn.Module):
 
 
 class ResBlock3d(nn.Module):
-    """Pre-activation 3D residual block: BN-ReLU-Conv x2 + skip (util.py:80-102)."""
+    """Pre-activation 3D residual block: BN-ReLU-Conv x2 + skip (util.py:80-102).
+
+    With ``packed=True`` the block runs on a pack_hw2 (B,D,H/2,W/2,4C) layout
+    end-to-end (exact numerics, ~4x MXU fill for the 32-channel volume
+    chains; see conv3d.pack_hw2).  Param tree is identical either way: norms
+    see a (...,4,C) view so their params stay C-sized."""
 
     kernel: int = 3
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
+        c = x.shape[-1] // (4 if self.packed else 1)
         k = (self.kernel,) * 3
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+
+        def bn(h, name):
+            m = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=name)
+            if self.packed:
+                return m(h.reshape(*h.shape[:-1], 4, c)).reshape(h.shape)
+            return m(h)
+
+        h = bn(x, "BatchNorm_0")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_0")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = Conv3D(c, k, name="Conv_0", packed_io=self.packed)(h)
+        h = bn(h, "BatchNorm_1")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_1")(h)
+        h = Conv3D(c, k, name="Conv_1", packed_io=self.packed)(h)
         return x + h
 
 
@@ -129,21 +147,43 @@ class ResBlock3dLeakGN(nn.Module):
 
     features: int
     negative_slope: float = 0.01
+    packed: bool = False  # pack_hw2 layout in/out (see ResBlock3d)
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
-        groups = min(32, self.features)  # 32 for canonical widths
-        short = (
-            x
-            if cin == self.features
-            else nn.Conv(self.features, (1, 1, 1), padding="VALID", name="shortcut")(x)
-        )
-        h = Conv3D(self.features, (3, 3, 3), name="conv1")(x)
-        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn1")(h)
+        cin = x.shape[-1] // (4 if self.packed else 1)
+
+        def gn(h, name):
+            # groups of the ORIGINAL channel axis; the (...,4,C) view pools
+            # the phase axis into the group statistics (same element set as
+            # unpacked, so numerics match)
+            m = nn.GroupNorm(num_groups=min(32, self.features),
+                             epsilon=1e-5, name=name)
+            if self.packed:
+                return m(h.reshape(*h.shape[:-1], 4, self.features)
+                         ).reshape(h.shape)
+            return m(h)
+
+        if cin == self.features:
+            short = x
+        elif self.packed:
+            # 1x1x1 conv is phase-pointwise: run it on a (...,4,C) view so
+            # the param keeps its (1,1,1,Cin,Cout) shape
+            b, d, hh, wh, _ = x.shape
+            short = nn.Conv(
+                self.features, (1, 1, 1), padding="VALID", name="shortcut"
+            )(x.reshape(b, d, hh * wh, 4, cin)).reshape(
+                b, d, hh, wh, 4 * self.features)
+        else:
+            short = nn.Conv(self.features, (1, 1, 1), padding="VALID",
+                            name="shortcut")(x)
+        h = Conv3D(self.features, (3, 3, 3), name="conv1",
+                   packed_io=self.packed)(x)
+        h = gn(h, "gn1")
         h = nn.leaky_relu(h, self.negative_slope)
-        h = Conv3D(self.features, (3, 3, 3), name="conv2")(h)
-        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn2")(h)
+        h = Conv3D(self.features, (3, 3, 3), name="conv2",
+                   packed_io=self.packed)(h)
+        h = gn(h, "gn2")
         h = h + short
         return nn.leaky_relu(h, self.negative_slope)
 
@@ -154,13 +194,15 @@ class HourglassEncoder(nn.Module):
     block_expansion: int
     num_blocks: int
     max_features: int
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = [x]
         for i in range(self.num_blocks):
             feats = min(self.max_features, self.block_expansion * (2 ** (i + 1)))
-            outs.append(DownBlock3d(feats, name=f"down{i}")(outs[-1], train))
+            outs.append(DownBlock3d(feats, name=f"down{i}",
+                                    conv_impl=self.conv_impl)(outs[-1], train))
         return outs
 
 
@@ -171,6 +213,7 @@ class HourglassDecoder(nn.Module):
     in_features: int
     num_blocks: int
     max_features: int
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -178,10 +221,11 @@ class HourglassDecoder(nn.Module):
         out = feats.pop()
         for j, i in enumerate(reversed(range(self.num_blocks))):
             out_filters = min(self.max_features, self.block_expansion * (2**i))
-            out = UpBlock3d(out_filters, name=f"up{j}")(out, train)
+            out = UpBlock3d(out_filters, name=f"up{j}",
+                            conv_impl=self.conv_impl)(out, train)
             out = jnp.concatenate([out, feats.pop()], axis=-1)
         c = self.block_expansion + self.in_features
-        out = Conv3D(c, (3, 3, 3), name="Conv_0")(out)
+        out = Conv3D(c, (3, 3, 3), name="Conv_0", impl=self.conv_impl)(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(out)
         return nn.relu(out)
 
@@ -193,6 +237,10 @@ class Hourglass(nn.Module):
     in_features: int
     num_blocks: int
     max_features: int
+    # "direct" measured 36.1 vs 45.2 ms/step for the dense-motion hourglass
+    # on v5e (tools/profile_r2.jsonl hourglass_direct): XLA's native 3D conv
+    # wins at these mixed 64..1024-channel shapes
+    conv_impl: str = "direct"
 
     @property
     def out_filters(self) -> int:
@@ -201,11 +249,12 @@ class Hourglass(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = HourglassEncoder(
-            self.block_expansion, self.num_blocks, self.max_features, name="encoder"
+            self.block_expansion, self.num_blocks, self.max_features,
+            name="encoder", conv_impl=self.conv_impl,
         )(x, train)
         return HourglassDecoder(
             self.block_expansion, self.in_features, self.num_blocks,
-            self.max_features, name="decoder",
+            self.max_features, name="decoder", conv_impl=self.conv_impl,
         )(feats, train)
 
 

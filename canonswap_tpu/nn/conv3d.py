@@ -108,6 +108,89 @@ def conv3d_outstacked(x: jax.Array, kernel: jax.Array,
     return out
 
 
+def pack_hw2(x: jax.Array) -> jax.Array:
+    """Space-to-depth 2x2 over (H, W): (B, D, H, W, C) -> (B, D, H/2, W/2, 4C).
+
+    Packed channel index = (py*2 + px)*C + c (phase-major).  The 32-channel
+    volume convs underfill the MXU badly (measured 9.8 TFLOP/s); packing 2x2
+    spatial phases into channels trades 4x the MACs for 128-wide operands,
+    a net ~4x win on v5e (tools/profile_r2.jsonl: conv3d_packed128_rate)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, d, h // 2, w // 2, 4 * c)
+
+
+def unpack_hw2(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_hw2`."""
+    b, d, hh, wh, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, d, hh, wh, 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, d, hh * 2, wh * 2, c)
+
+
+import functools
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_map_hw2() -> _np.ndarray:
+    """Constant 0/1 tensor E[d, g, p, q]: tap offset d of output phase q
+    lands at packed tap g with source phase p (one axis, factor 2):
+    s = q + d - 1; g = s // 2 + 1; p = s % 2."""
+    e = _np.zeros((3, 3, 2, 2), _np.float32)
+    for q in (0, 1):
+        for d in range(3):
+            s = q + d - 1
+            e[d, s // 2 + 1, s % 2, q] = 1.0
+    return e
+
+
+def pack_kernel_hw2(kernel: jax.Array) -> jax.Array:
+    """(kd, 3, 3, Cin, Cout) -> (kd, 3, 3, 4Cin, 4Cout) packed-space kernel.
+
+    For output phase q and tap offset o = d-1 along one axis, the source
+    lands at packed offset floor((q+o)/2) in {-1,0,1} with phase (q+o) mod 2;
+    every original weight maps to exactly one packed slot (rest zero), so the
+    packed conv is numerically EXACT, not an approximation.  Built as one
+    einsum against constant 0/1 phase maps (a scatter-based build measurably
+    serialized the device between convs)."""
+    kd, kh, kw, cin, cout = kernel.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError("pack_kernel_hw2 expects a 3x3 spatial kernel")
+    e = jnp.asarray(_phase_map_hw2(), kernel.dtype)
+    # kp[t, gy, gx, (py px ci), (qy qx co)]
+    kp = jnp.einsum("tabio,agyq,bhxr->tghyxiqro", kernel, e, e)
+    return kp.reshape(kd, 3, 3, 4 * cin, 4 * cout)
+
+
+def conv3d_packed(xp: jax.Array, kernel: jax.Array,
+                  bias: jax.Array | None = None) -> jax.Array:
+    """Exact 3D conv on a :func:`pack_hw2`-packed volume.
+
+    xp: (B, D, H/2, W/2, 4C); kernel: (kd, 3, 3, Cin, Cout) ORIGINAL layout
+    (packed on the fly — XLA constant-folds it for fixed params).
+    Returns the packed (B, D, H/2, W/2, 4*Cout) output."""
+    kp = pack_kernel_hw2(kernel)
+    cout = kernel.shape[-1]
+    b, d, hh, wh, _ = xp.shape
+    kd = kernel.shape[0]
+    pad = kd // 2
+    xpad = jnp.pad(xp, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for t in range(kd):
+        y = lax.conv_general_dilated(
+            xpad[:, t : t + d].reshape(b * d, hh, wh, xp.shape[-1]),
+            kp[t], (1, 1), "SAME", dimension_numbers=_DN_2D,
+        )
+        out = y if out is None else out + y
+    out = out.reshape(b, d, hh, wh, 4 * cout)
+    if bias is not None:
+        out = out + jnp.tile(bias, 4)
+    return out
+
+
 class Conv3D(nn.Module):
     """Drop-in stride-1 SAME 3D conv with selectable implementation.
 
@@ -118,9 +201,23 @@ class Conv3D(nn.Module):
     kernel_size: tuple[int, int, int] = (3, 3, 3)
     use_bias: bool = True
     impl: str = "auto"  # "auto" | "stacked" | "outstacked" | "decomposed" | "direct"
+    packed_io: bool = False  # input AND output in pack_hw2 layout
 
     @nn.compact
     def __call__(self, x):
+        if self.packed_io:
+            # params stay in the original (kd,kh,kw,Cin,Cout) layout so
+            # converted checkpoints are untouched
+            cin = x.shape[-1] // 4
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (*self.kernel_size, cin, self.features),
+            )
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None
+            )
+            return conv3d_packed(x, kernel, bias)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -148,6 +245,8 @@ class Conv3D(nn.Module):
             return y + bias if bias is not None else y
         if impl == "decomposed":
             return conv3d_decomposed(x, kernel, bias)
+        if impl == "packed":
+            return unpack_hw2(conv3d_packed(pack_hw2(x), kernel, bias))
         if impl == "outstacked":
             return conv3d_outstacked(x, kernel, bias)
         return conv3d_stacked(x, kernel, bias)

@@ -9,9 +9,14 @@ Layout: channels-last.  Volumes are (B, D, H, W, C); 3D grids are
 (B, Do, Ho, Wo, 3) with grid[..., 0] = x (width axis), 1 = y (height),
 2 = z (depth), all normalized to [-1, 1].
 
-The jnp implementation below is the reference path; a fused Pallas kernel is
-provided in ``canonswap_tpu.ops.pallas.grid_sample`` and dispatched via
-``grid_sample_3d(..., impl=...)``.
+``grid_sample_3d_packed`` (one corner-packed row gather per point) is the
+production path.  A Pallas VMEM-resident gather kernel was designed and
+attempted, but Mosaic's ``tpu.dynamic_gather`` is unusable on this toolchain
+(sublane-axis gathers crash the backend compiler; lane-axis gathers are
+limited to 128 lanes, too narrow for a volume-sized row gather), and XLA's
+row gather is row-count-bound at ~75M rows/s regardless of row width — so
+the packed single-gather formulation is the measured optimum (42.6 ms vs
+99.9 ms flat for B=16 CANONICAL shapes; tools/exp_warp.py).
 """
 
 from __future__ import annotations
@@ -238,12 +243,10 @@ def translate_volume_trilinear(vol: jax.Array, shift: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("impl",))
 def grid_sample_3d(vol: jax.Array, grid: jax.Array, impl: str = "auto") -> jax.Array:
-    """Dispatching wrapper; ``impl`` in {"auto", "jnp", "pallas"}."""
-    if impl == "pallas":
-        from canonswap_tpu.ops.pallas.grid_sample import grid_sample_3d_pallas
-
-        return grid_sample_3d_pallas(vol, grid)
-    return grid_sample_3d_ref(vol, grid)
+    """Dispatching wrapper; ``impl`` in {"auto", "packed", "jnp"}."""
+    if impl == "jnp":
+        return grid_sample_3d_ref(vol, grid)
+    return grid_sample_3d_packed(vol, grid)
 
 
 @jax.jit

@@ -291,3 +291,57 @@ class TestGridSamplePacked:
         want = np.asarray(ops.grid_sample_3d_ref(vol, grid))
         got = np.asarray(grid_sample_3d_packed(vol, grid))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestPackedConv3D:
+    """Space-to-depth packed conv (nn.conv3d.pack_hw2 / conv3d_packed): exact
+    equivalence with the stacked reference and with torch F.conv3d."""
+
+    def test_pack_roundtrip(self):
+        from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
+
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 4, 8, 10, 5)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(unpack_hw2(pack_hw2(x))),
+                                      np.asarray(x))
+
+    def test_matches_torch_conv3d(self):
+        from canonswap_tpu.nn.conv3d import conv3d_packed, pack_hw2, unpack_hw2
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 4, 8, 8, 5)).astype(np.float32)
+        k = rng.standard_normal((3, 3, 3, 5, 7)).astype(np.float32)
+        b = rng.standard_normal((7,)).astype(np.float32)
+        out = unpack_hw2(conv3d_packed(pack_hw2(jnp.asarray(x)),
+                                       jnp.asarray(k), jnp.asarray(b)))
+        # torch: (B, C, D, H, W), kernel (Cout, Cin, kd, kh, kw)
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        tk = torch.from_numpy(k).permute(4, 3, 0, 1, 2)
+        ref = tF.conv3d(tx, tk, torch.from_numpy(b), padding=1)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+    def test_packed_resblock_chain_matches_unpacked(self):
+        """ResBlock3d / ResBlock3dLeakGN with packed=True == packed=False on
+        the same params (the param tree is identical by construction)."""
+        import jax
+        from flax import linen as nn
+        from canonswap_tpu.nn.blocks import ResBlock3d, ResBlock3dLeakGN
+        from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 32))
+
+        for cls, kw in ((ResBlock3d, {}), (ResBlock3dLeakGN, {"features": 32})):
+            m_u = cls(packed=False, **kw)
+            m_p = cls(packed=True, **kw)
+            params = m_u.init(jax.random.PRNGKey(1), x)
+            params_p = m_p.init(jax.random.PRNGKey(1), pack_hw2(x))
+            assert jax.tree.structure(params) == jax.tree.structure(params_p)
+            assert all(
+                a.shape == b.shape
+                for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_p))
+            )
+            y_u = m_u.apply(params, x)
+            y_p = unpack_hw2(m_p.apply(params, pack_hw2(x)))
+            np.testing.assert_allclose(
+                np.asarray(y_p), np.asarray(y_u), atol=2e-5, rtol=1e-5)
