@@ -178,6 +178,9 @@ def grid_sample_3d_packed(vol: jax.Array, grid: jax.Array) -> jax.Array:
     rows = jnp.take_along_axis(
         packed, flat.reshape(b, -1)[..., None], axis=1
     )  # (B, P, 8C)
+    # keep XLA from fusing elementwise work into the gather consumer: the
+    # staged form measures 36.2 vs 42.2 ms/step (B=16 CANONICAL, v5e)
+    rows = jax.lax.optimization_barrier(rows)
     rows = rows.reshape(*out_shape, 8, c)
 
     weights = []
@@ -194,7 +197,9 @@ def grid_sample_3d_packed(vol: jax.Array, grid: jax.Array) -> jax.Array:
                     (z0i + 1 == zc) & (y0i + 1 == yc) & (x0i + 1 == xc)
                 )
                 weights.append(wz * wy * wx * valid.astype(vol.dtype))
-    wstack = jnp.stack(weights, axis=-1)  # (..., 8)
+    wstack = jax.lax.optimization_barrier(
+        jnp.stack(weights, axis=-1)
+    )  # (..., 8); barrier: see above
     return jnp.einsum("...kc,...k->...c", rows, wstack)
 
 

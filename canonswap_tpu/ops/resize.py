@@ -114,3 +114,67 @@ def volume_from_2d(x: jax.Array, depth: int) -> jax.Array:
     c = cd // depth
     x = x.reshape(b, h, w, c, depth)
     return x.transpose(0, 4, 1, 2, 3)
+
+
+def conv3x3_on_nearest_upsample(
+    seg: jax.Array, kernel: jax.Array, bias: jax.Array | None, factor: int
+) -> jax.Array:
+    """Exactly ``conv3x3_same(nearest_upsample(seg, (f, f)))`` computed at
+    LOW resolution.
+
+    For nearest-x f upsampling, the 3 conv taps of output phase p hit at most
+    2 distinct source cells (offsets floor((p+d-1)/f) for d in 0..2), and
+    taps landing on the same cell just sum their weights.  So the full-res
+    conv folds into <= f^2 small per-phase convs at seg resolution plus a
+    depth-to-space interleave — 2.25x (f=2) to 4x (f=4) fewer MACs than
+    convolving the upsampled map (used for the SPADE mlp_shared convs on the
+    upsampled segmap, reference util.py:295-299).
+
+    seg: (B, H, W, Cin); kernel: (3, 3, Cin, Cout) SAME/zero-pad semantics.
+    Returns (B, f*H, f*W, Cout).
+    """
+    b, h, w, cin = seg.shape
+    cout = kernel.shape[-1]
+    if factor == 1:
+        y = lax.conv_general_dilated(
+            seg, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias if bias is not None else y
+
+    # per-phase folded 1D tap lists: [(offset, [d...]), ...]
+    def phase_taps(p):
+        groups: dict[int, list[int]] = {}
+        for d in range(3):
+            groups.setdefault((p + d - 1) // factor, []).append(d)
+        return sorted(groups.items())
+
+    segp = jnp.pad(seg, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cache: dict[tuple, jax.Array] = {}
+    phases = []
+    for py in range(factor):
+        ty = phase_taps(py)
+        for px in range(factor):
+            tx = phase_taps(px)
+            key = (
+                tuple((o, tuple(ds)) for o, ds in ty),
+                tuple((o, tuple(ds)) for o, ds in tx),
+            )
+            if key not in cache:
+                # folded kernel (len(ty), len(tx), Cin, Cout)
+                kf = jnp.stack([
+                    jnp.stack([
+                        sum(kernel[dy, dx] for dy in dys for dx in dxs)
+                        for _, dxs in tx], axis=0)
+                    for _, dys in ty], axis=0)
+                oy0 = ty[0][0]   # first source offset in {-1, 0}
+                ox0 = tx[0][0]
+                win = segp[:, 1 + oy0 : 1 + oy0 + h + len(ty) - 1,
+                           1 + ox0 : 1 + ox0 + w + len(tx) - 1]
+                cache[key] = lax.conv_general_dilated(
+                    win, kf, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            phases.append(cache[key])
+    # interleave: phases[py*f+px][B, Y, X, C] -> out[B, f*Y+py, f*X+px, C]
+    ph = jnp.stack(phases, axis=0).reshape(factor, factor, b, h, w, cout)
+    out = ph.transpose(2, 3, 0, 4, 1, 5).reshape(b, factor * h, factor * w, cout)
+    return out + bias if bias is not None else out

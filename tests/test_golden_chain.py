@@ -162,12 +162,15 @@ def test_full_chain_golden(torch_stack):
     def chw(x):
         return np.moveaxis(np.asarray(x), -1, 1)
 
+    # atol 4e-3: the folded SPADE segmap conv and packed volume chains
+    # reassociate fp32 sums, drifting a handful of elements past 1e-3
+    # (observed max 2.2e-3 on 0.002% of pixels); wiring errors are O(0.1)
     np.testing.assert_allclose(
-        chw(out["rec_can"]), want["rec_can"], rtol=1e-3, atol=1e-3
+        chw(out["rec_can"]), want["rec_can"], rtol=1e-3, atol=4e-3
     )
     np.testing.assert_allclose(
-        chw(out["swap_can"]), want["swap_can"], rtol=1e-3, atol=1e-3
+        chw(out["swap_can"]), want["swap_can"], rtol=1e-3, atol=4e-3
     )
     np.testing.assert_allclose(
-        chw(out["out"]), want["out"], rtol=1e-3, atol=1e-3
+        chw(out["out"]), want["out"], rtol=1e-3, atol=4e-3
     )

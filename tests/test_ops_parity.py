@@ -345,3 +345,37 @@ class TestPackedConv3D:
             y_p = unpack_hw2(m_p.apply(params, pack_hw2(x)))
             np.testing.assert_allclose(
                 np.asarray(y_p), np.asarray(y_u), atol=2e-5, rtol=1e-5)
+
+
+class TestFoldedUpsampleConv:
+    """ops.resize.conv3x3_on_nearest_upsample == conv3x3(nearest_upsample)
+    exactly, for the factors SPADE uses (1, 2, 4)."""
+
+    @pytest.mark.parametrize("factor", [1, 2, 4])
+    def test_matches_naive(self, factor):
+        from jax import lax
+        from canonswap_tpu.ops.resize import (
+            conv3x3_on_nearest_upsample, nearest_upsample)
+
+        rng = np.random.default_rng(factor)
+        seg = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((7,)), jnp.float32)
+        ref = lax.conv_general_dilated(
+            nearest_upsample(seg, (factor, factor)), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        out = conv3x3_on_nearest_upsample(seg, k, b, factor)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_spade_param_tree_unchanged(self):
+        """The folded mlp_shared path keeps nn.Conv-compatible params."""
+        import jax
+        from canonswap_tpu.nn.blocks import SPADE
+
+        x = jnp.zeros((1, 16, 16, 12))
+        seg = jnp.zeros((1, 8, 8, 6))
+        params = SPADE().init(jax.random.PRNGKey(0), x, seg)["params"]
+        assert set(params) == {"mlp_shared", "mlp_gamma", "mlp_beta"}
+        assert params["mlp_shared"]["kernel"].shape == (3, 3, 6, 128)
+        assert params["mlp_shared"]["bias"].shape == (128,)
