@@ -53,12 +53,16 @@ def _cast(tree, dtype):
 
 
 def make_scan_fn(step_fn, n_steps: int):
-    """step_fn(carry_frames) -> scalar checksum; chained n_steps times."""
+    """step_fn(carry_frames, ctx) -> scalar checksum; chained n_steps times.
+
+    ``ctx`` (param trees etc.) MUST flow through as a jit argument — closing
+    over device arrays embeds them as constants in the compile request, which
+    overflows the remote-compile relay's body-size cap (HTTP 413)."""
 
     @jax.jit
-    def run(frames):
+    def run(frames, ctx):
         def body(carry, _):
-            chk = step_fn(carry)
+            chk = step_fn(carry, ctx)
             # feed a zero-scaled checksum back in: forces serialization
             f = carry + (0.0 * chk).astype(carry.dtype)
             return f, chk
@@ -69,20 +73,20 @@ def make_scan_fn(step_fn, n_steps: int):
     return run
 
 
-def timed(run, frames) -> float:
+def timed(run, frames, ctx) -> float:
     t0 = time.perf_counter()
-    val = float(run(frames))  # fetch forces full execution
+    val = float(run(frames, ctx))  # fetch forces full execution
     assert val == val, "NaN checksum"
     return time.perf_counter() - t0
 
 
-def slope_fps(step_fn, frames, batch, n_long):
+def slope_fps(step_fn, frames, ctx, batch, n_long):
     run_long = make_scan_fn(step_fn, n_long)
     run_short = make_scan_fn(step_fn, 1)
-    timed(run_short, frames)  # compile
-    timed(run_long, frames)
-    t_short = min(timed(run_short, frames) for _ in range(2))
-    t_long = min(timed(run_long, frames) for _ in range(2))
+    timed(run_short, frames, ctx)  # compile
+    timed(run_long, frames, ctx)
+    t_short = min(timed(run_short, frames, ctx) for _ in range(2))
+    t_long = min(timed(run_long, frames, ctx) for _ in range(2))
     step_time = (t_long - t_short) / (n_long - 1)
     print(
         f"#   t_short={t_short:.3f}s t_long={t_long:.3f}s "
@@ -125,23 +129,26 @@ def main():
     frames = jnp.full((batch, s, s, 3), 0.5, dtype)
     sid = jnp.ones((batch, core.cfg.swap.latent_dim), dtype)
 
-    def generator_chk(f, n_faces=1):
+    ctx = {"params": params, "sid": sid, "lmk_p": lmk_p, "seg_p": seg_p}
+
+    def generator_chk(f, ctx, n_faces=1):
         chk = jnp.zeros((), jnp.float32)
         for i in range(n_faces):
-            face_sid = sid if i == 0 else sid * 0.5
-            out, _ = C.swap_with_motion(core, params, f, face_sid)
+            face_sid = ctx["sid"] if i == 0 else ctx["sid"] * 0.5
+            out, _ = C.swap_with_motion(core, ctx["params"], f, face_sid)
             chk = chk + jnp.mean(out["out"].astype(jnp.float32))
         return chk
 
-    def sidecars_chk(f):
+    def sidecars_chk(f, ctx):
         # 203-lmk tracking on 224^2 crops + Segformer parsing of the 512^2
         # region (both derived from the frame batch, keeping one data path)
         from canonswap_tpu.ops.resize import bilinear_resize
 
         crop224 = bilinear_resize(f, (224, 224)) * 255.0
-        pts = lmk.net.apply(lmk_p, crop224)
+        pts = lmk.net.apply(ctx["lmk_p"], crop224)
         big = bilinear_resize(f, (512, 512)) * 255.0
-        logits = seg.apply(seg_p, preprocess(big.astype(dtype)).astype(dtype))
+        logits = seg.apply(
+            ctx["seg_p"], preprocess(big.astype(dtype)).astype(dtype))
         mask = face_mask_from_logits(logits)
         return jnp.mean(pts.astype(jnp.float32)) + jnp.mean(mask)
 
@@ -149,16 +156,17 @@ def main():
     if "core" in only:
         print("# core_generator", file=sys.stderr)
         results["core_generator"] = slope_fps(
-            generator_chk, frames, batch, n_long)
+            generator_chk, frames, ctx, batch, n_long)
     if "e2e" in only:
         print("# e2e (landmark + parsing + generator)", file=sys.stderr)
         results["e2e"] = slope_fps(
-            lambda f: generator_chk(f) + sidecars_chk(f), frames, batch, n_long)
+            lambda f, c: generator_chk(f, c) + sidecars_chk(f, c),
+            frames, ctx, batch, n_long)
     if "multiface" in only:
         print("# multiface (2 faces/frame, e2e)", file=sys.stderr)
         results["multiface_2"] = slope_fps(
-            lambda f: generator_chk(f, n_faces=2) + sidecars_chk(f),
-            frames, batch, n_long)
+            lambda f, c: generator_chk(f, c, n_faces=2) + sidecars_chk(f, c),
+            frames, ctx, batch, n_long)
 
     headline = results.get("e2e") or next(iter(results.values()))
     extra = {k: round(v, 2) for k, v in results.items()}
