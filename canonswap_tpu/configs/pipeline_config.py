@@ -97,6 +97,8 @@ class CropConfig:
     vx_ratio_crop_driving_video: float = 0.0
     vy_ratio_crop_driving_video: float = -0.1
     direction: str = "large-small"
+    # animal-face landmarking via models.xpose (reference crop_config.py:27)
+    animal_face_type: str = "animal_face_9"  # or "animal_face_68"
 
 
 def partial_fields(target_class, kwargs: dict):

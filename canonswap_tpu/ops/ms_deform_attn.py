@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from canonswap_tpu.ops.grid_sample import grid_sample_2d_ref
 
@@ -38,9 +39,10 @@ def ms_deform_attn_ref(
     n, _, m, d = value.shape
     _, lq, _, L, p, _ = sampling_locations.shape
 
-    # split per level
+    # split per level (static indices — traced split points break under jit)
     sizes = [h * w for h, w in spatial_shapes]
-    splits = jnp.split(value, jnp.cumsum(jnp.asarray(sizes))[:-1], axis=1)
+    bounds = [int(x) for x in np.cumsum(sizes)[:-1]]
+    splits = jnp.split(value, bounds, axis=1)
 
     outputs = []
     for lvl, (h, w) in enumerate(spatial_shapes):

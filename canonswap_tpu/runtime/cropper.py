@@ -38,13 +38,35 @@ class Cropper:
         face_analysis: FaceAnalysis,
         landmark_runner: Landmark203Runner,
         network_input_size: int = 256,
+        image_type: str = "human_face",
+        animal_landmark_runner=None,
     ):
+        """``image_type='animal_face'`` routes frame-0 landmarks through the
+        UniPose animal runner (models.xpose.XPoseRunner), mirroring the
+        reference gate at cropper.py:80-88,100-140; human faces keep the
+        SCRFD + 106-pt path."""
         self.crop_cfg = crop_cfg
         self.face_analysis = face_analysis
         self.landmark_runner = landmark_runner
         self.network_input_size = network_input_size
+        self.image_type = image_type
+        self.animal_landmark_runner = animal_landmark_runner
+        if image_type == "animal_face" and animal_landmark_runner is None:
+            raise ValueError(
+                "image_type='animal_face' needs an XPoseRunner "
+                "(models.xpose) with its CLIP embedding cache")
 
     def _detect_lmk(self, frame_rgb: np.ndarray):
+        if self.image_type == "animal_face":
+            # 'animal_face_9' -> 9-pt 'animal_face' prompt,
+            # 'animal_face_68' -> 68-pt 'face' prompt (cropper.py:128-140)
+            n = 9 if getattr(
+                self.crop_cfg, "animal_face_type", "animal_face_9"
+            ) == "animal_face_9" else 68
+            lmk = self.animal_landmark_runner.run(
+                frame_rgb, num_keypoints=n,
+                box_threshold=0.0, iou_threshold=0.0)
+            return lmk
         faces = self.face_analysis.get(
             frame_rgb,
             flag_do_landmark_2d_106=True,
