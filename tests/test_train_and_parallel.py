@@ -159,3 +159,36 @@ def test_canonical_sharded_inference_compiles():
     fn = jax.jit(C.swap_with_motion, static_argnums=0)
     compiled = fn.lower(core8, params_abs, fs, ids).compile()
     assert compiled is not None
+
+
+@pytest.mark.slow
+def test_canonical_sharded_inference_compiles():
+    """CANONICAL-config multi-device smoke (shapes only): the full sharded
+    inference program lowers and compiles on the 4x2 CPU mesh without ever
+    materializing the big parameter set (abstract params + shardings)."""
+    from canonswap_tpu.configs.model_config import CANONICAL
+
+    core = C.CanonSwapCore(CANONICAL)
+    mesh = M.make_mesh(data=4, model=2)
+    abs_params = jax.eval_shape(core.init_params, jax.random.PRNGKey(0))
+    shardings = M.param_sharding(abs_params, mesh)
+    b = 8
+    s = CANONICAL.input_size
+    frames = jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32)
+    sid = jax.ShapeDtypeStruct((b, CANONICAL.swap.latent_dim), jnp.float32)
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+
+    def fn(p, f, i):
+        out, _ = C.swap_with_motion(core, p, f, i)
+        return out["out"]
+
+    lowered = jax.jit(
+        fn,
+        in_shardings=(shardings, batch_sharding, batch_sharding),
+    ).lower(abs_params, frames, sid)
+    compiled = lowered.compile()
+    out_aval = jax.eval_shape(
+        lambda p, f, i: fn(p, f, i), abs_params, frames, sid)
+    assert tuple(out_aval.shape) == (b, 2 * s, 2 * s, 3)
+    assert compiled is not None
