@@ -44,6 +44,18 @@ def load_reference_unipose():
             sys.path.insert(0, p)
     import importlib
 
+    # other oracle tests may have bound the name 'models' to the reference
+    # repo's top-level models/ (ArcFace scaffolding) — or 'util' to something
+    # else; purge stale bindings so XPose's own packages resolve
+    xpose_root = "/root/reference/src/utils/dependencies/XPose"
+    for name in list(sys.modules):
+        if name == "models" or name.startswith("models."):
+            mod = sys.modules[name]
+            path = list(getattr(mod, "__path__", [])) or [
+                getattr(mod, "__file__", "") or ""]
+            if not any(str(p).startswith(xpose_root) for p in path):
+                del sys.modules[name]
+
     unipose = importlib.import_module("models.UniPose.unipose")
 
     def prepare_for_mask_cpu(kpt_mask):

@@ -270,7 +270,16 @@ def test_convnextv2_motion_extractor_parity():
 def test_arcface_parity():
     """SE-IR ResNet ArcFace vs reference models/arcface_models.py (dual
     output contract: (embedding, mid feature))."""
-    import models.arcface_models as ref_arc
+    # import under an alias package: the name 'models' is ambiguous once the
+    # XPose oracle put its own models/ package on sys.path
+    import importlib
+    import types
+
+    if "ref_models" not in sys.modules:
+        pkg = types.ModuleType("ref_models")
+        pkg.__path__ = [f"{REF}/models"]
+        sys.modules["ref_models"] = pkg
+    ref_arc = importlib.import_module("ref_models.arcface_models")
 
     from canonswap_tpu.models.arcface import ArcFaceResNet
 
