@@ -53,6 +53,9 @@ class ArgumentConfig:
     # TPU-specific
     batch_size: int = 8  # frame batch per device step
     checkpoint: Optional[str] = None  # combined_weights.pth (torch) to convert
+    stitching_checkpoint: Optional[str] = None
+    dense_motion_scale: int = 1  # >1: half-res dense-motion speed mode
+    flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
 
 
 @dataclasses.dataclass
@@ -64,8 +67,12 @@ class InferenceConfig:
     flag_normalize_lip: bool = True
     flag_eye_retargeting: bool = False
     flag_lip_retargeting: bool = False
-    flag_stitching: bool = True
-    flag_relative_motion: bool = False
+    # stitching is OFF by default, matching the reference entry points which
+    # force it off (inference_canswap.py:56); when True the session builds the
+    # stitching/retargeting nets and applies them to the driving keypoints
+    # (runtime/core.py::adjust_driving_kp)
+    flag_stitching: bool = False
+    flag_relative_motion: bool = False  # unsupported: session raises if True
     flag_pasteback: bool = True
     flag_do_crop: bool = True
     flag_do_rot: bool = True
@@ -80,6 +87,14 @@ class InferenceConfig:
 
     batch_size: int = 8
     checkpoint: Optional[str] = None
+    # stitching/retargeting checkpoint (.pth or converted .npz), used when
+    # flag_stitching / flag_*_retargeting are on
+    stitching_checkpoint: Optional[str] = None
+    # >1 estimates the dense deformation field at 1/N in-plane resolution
+    # (exact at 1; ~4x cheaper dense-motion at 2 — the speed/quality knob)
+    dense_motion_scale: int = 1
+    # W8A8 int8 convs in the swap/SPADE 64^2-128^2 hot shapes (ops/qconv.py)
+    flag_int8: bool = False
 
 
 @dataclasses.dataclass

@@ -162,7 +162,9 @@ class XPoseRunner:
             img_rgb, num_keypoints, box_threshold, iou_threshold,
             ins_embed=ins_embed, kpt_embed=kpt_embed)
         if len(kpts) == 0:
-            return np.zeros((num_keypoints, 2), np.float32)
+            # no detection survived: report the miss (None) so the Cropper's
+            # miss/recovery policy can engage, instead of cropping at (0, 0)
+            return None
         h0, w0 = img_rgb.shape[:2]
         # normalized coords are relative to the VALID region of the canvas
         z = kpts[0] * np.array([w0, h0] * num_keypoints, np.float32)

@@ -56,6 +56,28 @@ class FaceSwapSession:
         self.mesh = mesh
         self.inference_cfg = inference_cfg or InferenceConfig()
         self.crop_cfg = crop_cfg or CropConfig()
+        if getattr(self.inference_cfg, "flag_relative_motion", False):
+            raise ValueError(
+                "flag_relative_motion is not supported by the e2e swap path "
+                "(the reference never consumes it either — it swaps per-frame "
+                "absolute motion; see SURVEY.md §2a)")
+        dm_scale = int(getattr(self.inference_cfg, "dense_motion_scale", 1))
+        if dm_scale > 1:
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                warping=_dc.replace(model_cfg.warping,
+                                    dense_motion_scale=dm_scale),
+            )
+        if getattr(self.inference_cfg, "flag_int8", False):
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                swap=_dc.replace(model_cfg.swap, int8_conv=True),
+                spade=_dc.replace(model_cfg.spade, int8_conv=True),
+            )
         self.model_cfg = model_cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         keys = jax.random.split(rng, 8)
@@ -76,6 +98,25 @@ class FaceSwapSession:
         self.params = _zeros_like_init(self.core.init_params)(keys[0])
         if self.inference_cfg.checkpoint:
             self.load_checkpoint(self.inference_cfg.checkpoint)
+
+        # optional stitching / retargeting nets (flag_stitching,
+        # flag_eye_retargeting, flag_lip_retargeting).  Random-init unless a
+        # converted stitching checkpoint is loaded — same contract as every
+        # other net in this repo (no checkpoints ship with the reference).
+        self.use_stitching = bool(
+            getattr(self.inference_cfg, "flag_stitching", False))
+        self.use_eye_retarget = bool(
+            getattr(self.inference_cfg, "flag_eye_retargeting", False))
+        self.use_lip_retarget = bool(
+            getattr(self.inference_cfg, "flag_lip_retargeting", False))
+        self.stitching_params = None
+        if self.use_stitching or self.use_eye_retarget or self.use_lip_retarget:
+            self.stitching_params = _zeros_like_init(
+                self.core.init_stitching_params)(keys[6])
+            st_ckpt = getattr(
+                self.inference_cfg, "stitching_checkpoint", None)
+            if st_ckpt:
+                self.load_stitching_checkpoint(st_ckpt)
         # half precision: bf16 params/compute on the generator (the TPU-native
         # analogue of the reference's fp16 autocast, can_swap_e2e.py:113-119);
         # keypoint math stays f32 (refine_kp_info) and outputs are cast back
@@ -182,6 +223,21 @@ class FaceSwapSession:
                 v,
             )
 
+    def load_stitching_checkpoint(self, path: str):
+        """Convert + load the LivePortrait-lineage stitching/retargeting
+        checkpoint (retarget_shoulder/mouth/eye, reference helper.py:157-181)
+        for flag_stitching / flag_eye_retargeting / flag_lip_retargeting."""
+        from canonswap_tpu.runtime import checkpoint as CK
+        from canonswap_tpu.runtime import weights as W
+
+        if path.endswith(".npz"):
+            self.stitching_params = CK.load_npz(path)
+        else:
+            import torch
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+            self.stitching_params = W.convert_stitching_checkpoint(ckpt)
+
     # ------------------------------------------------------------------
     # stages
     # ------------------------------------------------------------------
@@ -221,11 +277,24 @@ class FaceSwapSession:
     def swap_with_motion(
         self, frames01: jax.Array, source_id: jax.Array,
         with_debug: bool = False, as_uint8: bool = False,
+        eye_ratio: jax.Array | None = None,
+        lip_ratio: jax.Array | None = None,
     ) -> tuple[dict, dict]:
         """Fused motion + swap (one device dispatch); as_uint8 quantizes the
-        images on device (4x less device->host traffic)."""
+        images on device (4x less device->host traffic).  ``eye_ratio`` /
+        ``lip_ratio`` are the (B,3)/(B,2) combined close-ratios when the
+        retargeting flags are on."""
+        st = self.stitching_params
         out, motion = C.swap_with_motion_jit(
             self.core, self.params, frames01, source_id,
+            stitching_params=st,
+            eye_ratio=eye_ratio if (st is not None and self.use_eye_retarget)
+            else None,
+            lip_ratio=lip_ratio if (st is not None and self.use_lip_retarget)
+            else None,
+            use_stitching=self.use_stitching and st is not None,
+            normalize_lip=bool(
+                getattr(self.inference_cfg, "flag_normalize_lip", False)),
             with_debug=with_debug, as_uint8=as_uint8,
         )
         if not as_uint8:
@@ -242,7 +311,22 @@ class FaceSwapSession:
     def swap_batch(
         self, frames01: jax.Array, source_id: jax.Array, motion: dict,
         with_debug: bool = False,
+        eye_ratio: jax.Array | None = None,
+        lip_ratio: jax.Array | None = None,
     ) -> dict:
+        st = self.stitching_params
+        if st is not None and (
+            self.use_stitching or self.use_eye_retarget or self.use_lip_retarget
+        ):
+            motion = dict(motion)
+            motion["x_t"] = C.adjust_driving_kp_jit(
+                self.core, st, jnp.asarray(motion["x_t"]),
+                eye_ratio if self.use_eye_retarget else None,
+                lip_ratio if self.use_lip_retarget else None,
+                use_stitching=self.use_stitching,
+                normalize_lip=bool(
+                    getattr(self.inference_cfg, "flag_normalize_lip", False)),
+            )
         out = self._swap_step(
             self.core, self.params, frames01, source_id, motion,
             with_debug=with_debug,

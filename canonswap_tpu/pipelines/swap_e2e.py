@@ -79,6 +79,26 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
     c_d_eyes_lst = [calc_eye_close_ratio(l[None]) for l in lmk_crop_lst]
     c_d_lip_lst = [calc_lip_close_ratio(l[None]) for l in lmk_crop_lst]
 
+    # combined ratios for the retargeting nets (reference vestigial path
+    # can_swap_e2e.py:324-348, wired here behind the flags)
+    eye_ratio_all = lip_ratio_all = None
+    if session.use_eye_retarget or session.use_lip_retarget:
+        from canonswap_tpu.utils.ratios import (
+            calc_combined_eye_ratio, calc_combined_lip_ratio)
+
+        src_crop = session.cropper.crop_source_image(source_rgb)
+        if src_crop is None:
+            raise RuntimeError(
+                "No face detected in the source image (needed for the "
+                "retargeting ratios).")
+        source_lmk = src_crop["lmk_crop"]
+        eye_ratio_all = np.concatenate([
+            calc_combined_eye_ratio(c, source_lmk) for c in c_d_eyes_lst
+        ])  # (N, 3)
+        lip_ratio_all = np.concatenate([
+            calc_combined_lip_ratio(c, source_lmk) for c in c_d_lip_lst
+        ])  # (N, 2)
+
     # 4) motion template (batched), with an on-disk cache -----------------
     # The reference designed but disabled this cache
     # (can_swap_pipeline_e2e.py:199-201); here it is real: one .pkl per
@@ -132,17 +152,24 @@ def execute(session: FaceSwapSession, args: ArgumentConfig):
         if pad:
             idx = np.concatenate([idx, np.full(pad, hi - 1)])
         frames01 = session.prepare_frames(crops_256[idx])
+        eye_r = (jnp.asarray(eye_ratio_all[idx])
+                 if eye_ratio_all is not None else None)
+        lip_r = (jnp.asarray(lip_ratio_all[idx])
+                 if lip_ratio_all is not None else None)
 
         if use_fused:
             out, motion = session.swap_with_motion(
-                frames01, source_id, with_debug=True
+                frames01, source_id, with_debug=True,
+                eye_ratio=eye_r, lip_ratio=lip_r,
             )
             motion_chunks.append(
                 {k: np.asarray(v)[: hi - lo] for k, v in motion.items()}
             )
         else:
             motion = {k: jnp.asarray(v[idx]) for k, v in motion_all.items()}
-            out = session.swap_batch(frames01, source_id, motion, with_debug=True)
+            out = session.swap_batch(frames01, source_id, motion,
+                                     with_debug=True,
+                                     eye_ratio=eye_r, lip_ratio=lip_r)
         masks512 = session.parse_masks(crops_256[idx])
 
         if not do_pstbk:

@@ -249,12 +249,56 @@ def reanimate_step(
     )
 
 
+def adjust_driving_kp(
+    core: CanonSwapCore,
+    stitching_params: Params,
+    x_t: jax.Array,
+    eye_ratio: jax.Array | None = None,
+    lip_ratio: jax.Array | None = None,
+    *,
+    use_stitching: bool = False,
+    normalize_lip: bool = False,
+    lip_normalize_threshold: float = 0.03,
+) -> jax.Array:
+    """Eye/lip retargeting + stitching on the posed driving keypoints.
+
+    LivePortrait-lineage semantics that the reference's vestigial methods
+    implement (can_swap_e2e.py:258-282): additive kp deltas from the
+    retargeting MLPs driven by combined close-ratios, then the stitching net
+    pulls the modified keypoints back toward coherence with the originals.
+    ``normalize_lip`` zeroes the lip delta when the driving lip is closed
+    below threshold (LivePortrait flag semantics; the ratio's second column
+    is the driving component, utils/ratios.calc_combined_lip_ratio)."""
+    st = core.stitching
+    dt = x_t.dtype
+    x_new = x_t
+    if eye_ratio is not None:
+        x_new = x_new + st.apply(
+            stitching_params, x_t, eye_ratio.astype(dt), method="retarget_eye"
+        )
+    if lip_ratio is not None:
+        lr = lip_ratio.astype(dt)
+        delta = st.apply(stitching_params, x_t, lr, method="retarget_lip")
+        if normalize_lip:
+            gate = (lr[:, 1:2] >= lip_normalize_threshold).astype(dt)
+            delta = delta * gate[:, :, None]
+        x_new = x_new + delta
+    if use_stitching:
+        x_new = st.apply(stitching_params, x_t, x_new, method="stitch")
+    return x_new
+
+
 def swap_with_motion(
     core: CanonSwapCore,
     params: Params,
     frames: jax.Array,
     source_id: jax.Array,
     *,
+    stitching_params: Params = None,
+    eye_ratio: jax.Array | None = None,
+    lip_ratio: jax.Array | None = None,
+    use_stitching: bool = False,
+    normalize_lip: bool = False,
     with_debug: bool = False,
     as_uint8: bool = False,
 ):
@@ -264,8 +308,20 @@ def swap_with_motion(
     ``as_uint8`` quantizes the output images on device — a 4x cut in
     device->host transfer volume (the pipeline's main off-chip cost).
 
+    ``stitching_params`` + ratio arrays enable the optional retargeting /
+    stitching keypoint adjustments (flag_eye_retargeting /
+    flag_lip_retargeting / flag_stitching) inside the same dispatch.
+
     Returns (outputs dict, motion dict)."""
     motion = extract_motion(core, params, frames)
+    if stitching_params is not None and (
+        use_stitching or eye_ratio is not None or lip_ratio is not None
+    ):
+        motion = dict(motion)
+        motion["x_t"] = adjust_driving_kp(
+            core, stitching_params, motion["x_t"], eye_ratio, lip_ratio,
+            use_stitching=use_stitching, normalize_lip=normalize_lip,
+        )
     out = swap_step(
         core, params, frames, source_id, motion, with_debug=with_debug
     )
@@ -282,7 +338,13 @@ def swap_with_motion(
 swap_step_jit = jax.jit(swap_step, static_argnums=0, static_argnames=("with_debug",))
 swap_with_motion_jit = jax.jit(
     swap_with_motion, static_argnums=0,
-    static_argnames=("with_debug", "as_uint8"),
+    static_argnames=("with_debug", "as_uint8", "use_stitching",
+                     "normalize_lip"),
+)
+adjust_driving_kp_jit = jax.jit(
+    adjust_driving_kp, static_argnums=0,
+    static_argnames=("use_stitching", "normalize_lip",
+                     "lip_normalize_threshold"),
 )
 extract_motion_jit = jax.jit(extract_motion, static_argnums=0)
 appearance_features_jit = jax.jit(appearance_features, static_argnums=0)

@@ -142,11 +142,47 @@ def warp_affine(img: np.ndarray, M: np.ndarray, dsize) -> np.ndarray:
     return cv2.warpAffine(img, M[:2, :], tuple(dsize), flags=cv2.INTER_LINEAR)
 
 
+def parse_bbox_from_landmark(pts: np.ndarray, scale: float = 1.5,
+                             vx_ratio: float = 0.0, vy_ratio: float = 0.0,
+                             use_lip: bool = True) -> dict:
+    """Landmarks -> face rect as axis-aligned + rotated corner sets
+    (reference crop.py:303-332).  Used by the driving-video global-bbox
+    crop; ``bbox`` rows are (lt, rt, rb, lb)."""
+    center, size, angle = parse_rect_from_landmark(
+        pts, scale=scale, vx_ratio=vx_ratio, vy_ratio=vy_ratio,
+        use_lip=use_lip)
+    cx, cy = center
+    w, h = size
+    bbox = np.array(
+        [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+         [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]], DTYPE)
+    R = np.array([[np.cos(angle), -np.sin(angle)],
+                  [np.sin(angle), np.cos(angle)]], DTYPE)
+    bbox_rot = (bbox - center) @ R.T + center
+    return {"center": center, "size": size, "angle": angle,
+            "bbox": bbox, "bbox_rot": bbox_rot}
+
+
+def crop_image_mo2c(img: np.ndarray, pts: np.ndarray, mo2c: np.ndarray,
+                    dsize: int = 224) -> dict:
+    """Crop with a PRE-COMPUTED original->crop transform (reference
+    crop.py:457-476): reuses another video's crop geometry frame-by-frame."""
+    M = np.asarray(mo2c, DTYPE)[:2, :]
+    M_o2c = np.vstack([M, np.array([0, 0, 1], DTYPE)])
+    return {
+        "img_crop": warp_affine(img, M, dsize),
+        "pt_crop": transform_pts(pts, M),
+        "M_o2c": M_o2c,
+        "M_c2o": np.linalg.inv(M_o2c).astype(DTYPE),
+    }
+
+
 def crop_image(img: np.ndarray, pts: np.ndarray, dsize=224, scale=1.5,
-               vy_ratio=-0.1, flag_do_rot=True) -> dict:
+               vx_ratio=0.0, vy_ratio=-0.1, flag_do_rot=True) -> dict:
     """Crop around landmarks (crop.py:429-455)."""
     M_o2c, M_c2o = estimate_similar_transform(
-        pts, dsize=dsize, scale=scale, vy_ratio=vy_ratio, flag_do_rot=flag_do_rot
+        pts, dsize=dsize, scale=scale, vx_ratio=vx_ratio, vy_ratio=vy_ratio,
+        flag_do_rot=flag_do_rot
     )
     return {
         "img_crop": warp_affine(img, M_o2c, dsize),

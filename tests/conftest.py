@@ -33,9 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# fast/slow split: `pytest -m "not slow"` is the quick commit gate (<~2 min);
-# the full suite (including torch-oracle parity and e2e media pipelines)
-# exceeds 9 minutes on this single-core host.
+# fast/slow split: `pytest -m "not slow"` is the commit gate (~6 min on this
+# single-core host with a warm /tmp compile cache); the full suite (including
+# torch-oracle parity and e2e media pipelines) takes ~10+ minutes.
 # ---------------------------------------------------------------------------
 SLOW_MODULES = {
     "test_pipeline_e2e",

@@ -158,3 +158,54 @@ def test_swap_e2e_smooth_motion(session, media, tmp_path):
         assert n == 4
     finally:
         session.inference_cfg.flag_smooth_motion = old
+
+
+def test_swap_e2e_stitching_retargeting_halfres(media, tmp_path):
+    """flag_stitching + eye/lip retargeting + dense_motion_scale=2 all wired:
+    the session builds the stitching nets (models/stitching.py), the swap
+    dispatch routes x_t through adjust_driving_kp (runtime/core.py), and the
+    dense deformation field is estimated at half resolution.  Reference
+    semantics: the vestigial retarget path can_swap_e2e.py:258-282."""
+    session = FaceSwapSession(
+        InferenceConfig(
+            batch_size=2, flag_stitching=True, flag_eye_retargeting=True,
+            flag_lip_retargeting=True, flag_normalize_lip=True,
+            dense_motion_scale=2,
+        ),
+        CropConfig(),
+        TINY,
+        det_size=(128, 128),
+        arcface_layers=(1, 1, 1, 1),
+        parsing_cfg=SegformerConfig(
+            hidden_sizes=(8, 12, 20, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 5, 8), decoder_hidden=32,
+        ),
+        landmark_widths=(8, 12, 16, 24),
+    )
+    assert session.stitching_params is not None
+    assert session.model_cfg.warping.dense_motion_scale == 2
+    args = ArgumentConfig(
+        source=str(media / "source.png"), driving=str(media / "drv.mp4"),
+        output_dir=str(tmp_path / "out_stitch"),
+    )
+    wfp, _ = swap_e2e.execute(session, args)
+    assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+    cap = cv2.VideoCapture(wfp)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+
+
+def test_relative_motion_flag_rejected():
+    with pytest.raises(ValueError, match="flag_relative_motion"):
+        FaceSwapSession(
+            InferenceConfig(flag_relative_motion=True), CropConfig(), TINY,
+            fast_init=True, det_size=(128, 128),
+            arcface_layers=(1, 1, 1, 1),
+            parsing_cfg=SegformerConfig(
+                hidden_sizes=(8, 12, 20, 32), depths=(1, 1, 1, 1),
+                num_heads=(1, 2, 5, 8), decoder_hidden=32,
+            ),
+            landmark_widths=(8, 12, 16, 24),
+        )

@@ -136,31 +136,6 @@ def test_sharded_train_step_matches_single_device(core):
         )
 
 
-def test_canonical_sharded_inference_compiles():
-    """CANONICAL-config multi-device smoke: the full-size swap program
-    partitions and compiles on an 8-device mesh (shapes only, no execution
-    — a real run at 256^2 x batch 8 is minutes of single-core CPU)."""
-    from canonswap_tpu.configs.model_config import CANONICAL
-
-    core8 = C.CanonSwapCore(CANONICAL)
-    mesh = M.make_mesh(data=4, model=2)
-    params = jax.eval_shape(core8.init_params, jax.random.PRNGKey(0))
-    param_sh = M.param_sharding(params, mesh)
-    s = CANONICAL.input_size
-    b = 8
-    fs = jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32,
-                              sharding=M.batch_sharding(mesh))
-    ids = jax.ShapeDtypeStruct((b, CANONICAL.swap.latent_dim), jnp.float32,
-                               sharding=M.batch_sharding(mesh))
-    params_abs = jax.tree.map(
-        lambda sd, sh: jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=sh),
-        params, param_sh,
-    )
-    fn = jax.jit(C.swap_with_motion, static_argnums=0)
-    compiled = fn.lower(core8, params_abs, fs, ids).compile()
-    assert compiled is not None
-
-
 @pytest.mark.slow
 def test_canonical_sharded_inference_compiles():
     """CANONICAL-config multi-device smoke (shapes only): the full sharded
