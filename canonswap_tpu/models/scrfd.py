@@ -1,16 +1,27 @@
-"""SCRFD-style face detector in JAX (backbone + PAFPN + per-stride heads).
+"""SCRFD-10GF face detector in JAX (the det_10g topology).
 
-The reference runs SCRFD as an opaque ONNX session (scrfd.py:72-303 wraps
-det_10g.onnx / scrfd_10g_bnkps.onnx).  Here the network is a native flax
-model: a residual backbone, a path-aggregation FPN, and the SCRFD head
-(shared stacked convs + GroupNorm, 2 anchors per location, score/bbox/5-kps
-branches per stride {8, 16, 32}).  Post-processing is the jittable
-fixed-capacity decode in ``ops/detection.py``.
+The reference runs SCRFD as an opaque ONNX session
+(model_zoo/scrfd.py:72-303 wraps det_10g.onnx / scrfd_10g_bnkps.onnx).  Here
+the network is a native flax model following the PUBLISHED SCRFD-10GF
+architecture (Guo et al., "Sample and Computation Redistribution for
+Efficient Face Detection", insightface mmdet config lineage):
 
-Weight import: the exact 10G checkpoint lives in ONNX files the user supplies;
-``runtime/onnx_import.py`` extracts initializers which map onto these modules
-(channel layouts match insightface's mmdet export).  Random-weight instances
-still exercise the full jit/shape path (and training code can fine-tune).
+  backbone  ResNetV1e — deep 3-conv stem (28, 28, 56) + 3x3/2 max-pool,
+            BasicBlock stages, blocks (3, 4, 2, 3), planes (56, 88, 88, 224),
+            strides (1, 2, 2, 2), avg-down shortcuts
+  neck      PAFPN over C3/C4/C5 (88, 88, 224), out 56, 3 levels
+  head      shared across strides (strides_share) and branches
+            (cls_reg_share): 4 stacked 3x3 conv + norm + relu at 80 channels,
+            then 3x3 score / bbox / kps branches, 2 anchors per position
+            (scales {1, 2}), bbox/kps distances in stride units
+
+Exact numeric fidelity to a real det_10g.onnx additionally needs the file's
+weights: ``runtime/onnx_map.py`` zips them onto this module when the op
+sequence matches, and ``runtime/onnx_exec.py`` executes ANY variant directly
+as the compatibility fallback (no topology assumption at all).
+
+Post-processing is the jittable fixed-capacity decode in ``ops/detection.py``
+(distance2bbox/kps + score-sorted NMS semantics of scrfd.py:26-70, 275-303).
 
 Preprocessing matches the reference: (img - 127.5) / 128, aspect-preserving
 letterbox to the detector input size (scrfd.py:154, 220-235).
@@ -26,7 +37,12 @@ import numpy as np
 from flax import linen as nn
 
 from canonswap_tpu.ops.detection import decode_scrfd
-from canonswap_tpu.ops.resize import max_pool
+from canonswap_tpu.ops.resize import avg_pool, max_pool
+
+
+def _bn(train: bool, name: str):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
 
 
 class ConvBNReLU(nn.Module):
@@ -40,59 +56,69 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)), use_bias=False,
+            padding=((pad, pad), (pad, pad)), use_bias=False, name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+        x = _bn(train, "bn")(x)
         return nn.relu(x)
 
 
-class ResBlock(nn.Module):
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock with the V1d/V1e avg-down shortcut: when the block
+    downsamples (or changes width) the identity path is AvgPool 2x2 (stride
+    2) then 1x1 conv + BN — not a strided 1x1 conv."""
+
     features: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        h = ConvBNReLU(self.features, stride=self.stride)(x, train)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(h)
+        h = ConvBNReLU(self.features, stride=self.stride, name="conv1")(
+            x, train)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    name="conv2")(h)
+        h = _bn(train, "bn2")(h)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(
-                self.features, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="downsample",
-            )(x)
-            residual = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name="downsample_bn",
-            )(residual)
+            if self.stride != 1:
+                residual = avg_pool(residual, (self.stride, self.stride))
+            residual = nn.Conv(self.features, (1, 1), use_bias=False,
+                               name="downsample")(residual)
+            residual = _bn(train, "downsample_bn")(residual)
         return nn.relu(h + residual)
 
 
-class Backbone(nn.Module):
-    """Residual backbone emitting C3 (stride 8), C4 (16), C5 (32)."""
+class ResNetV1e(nn.Module):
+    """SCRFD-10GF backbone: deep stem + (3, 4, 2, 3) x (56, 88, 88, 224)
+    BasicBlock stages; emits C3 (stride 8), C4 (16), C5 (32)."""
 
-    widths: Sequence[int] = (56, 88, 88, 224)
-    depths: Sequence[int] = (3, 4, 2, 3)
+    stem_channels: int = 56
+    stage_planes: Sequence[int] = (56, 88, 88, 224)
+    stage_blocks: Sequence[int] = (3, 4, 2, 3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNReLU(self.widths[0] // 2, stride=2, name="stem0")(x, train)
-        x = ConvBNReLU(self.widths[0] // 2, name="stem1")(x, train)
+        c = self.stem_channels
+        x = ConvBNReLU(c // 2, stride=2, name="stem0")(x, train)
+        x = ConvBNReLU(c // 2, name="stem1")(x, train)
+        x = ConvBNReLU(c, name="stem2")(x, train)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = max_pool(x, (3, 3), strides=(2, 2))
         feats = []
-        for i, (w, d) in enumerate(zip(self.widths, self.depths)):
+        for i, (w, d) in enumerate(zip(self.stage_planes, self.stage_blocks)):
             for j in range(d):
-                x = ResBlock(
-                    w, stride=2 if j == 0 else 1, name=f"layer{i}_{j}"
-                )(x, train)
+                stride = 2 if (j == 0 and i > 0) else 1
+                x = BasicBlock(w, stride=stride, name=f"layer{i}_{j}")(
+                    x, train)
             if i >= 1:
                 feats.append(x)  # strides 8, 16, 32
         return feats
 
 
 class PAFPN(nn.Module):
-    """Path-aggregation FPN: top-down then bottom-up fusion."""
+    """Path-aggregation FPN (mmdet PAFPN semantics): 1x1 laterals, top-down
+    nearest-upsample adds, 3x3 fpn convs, bottom-up stride-2 adds, 3x3 pafpn
+    convs on the aggregated levels."""
 
     out_channels: int = 56
 
@@ -103,7 +129,6 @@ class PAFPN(nn.Module):
             nn.Conv(c, (1, 1), name=f"lateral{i}")(f)
             for i, f in enumerate(feats)
         ]
-        # top-down
         td = [None] * len(lat)
         td[-1] = lat[-1]
         for i in range(len(lat) - 2, -1, -1):
@@ -113,7 +138,6 @@ class PAFPN(nn.Module):
             nn.Conv(c, (3, 3), padding="SAME", name=f"fpn_conv{i}")(t)
             for i, t in enumerate(td)
         ]
-        # bottom-up
         out = [td[0]]
         for i in range(1, len(td)):
             down = nn.Conv(
@@ -129,19 +153,21 @@ class PAFPN(nn.Module):
 
 
 class SCRFDHead(nn.Module):
-    """Shared head: stacked conv+GN, then score/bbox/kps branches.
-    Outputs per anchor: 1 score, 4 bbox distances, 10 kps offsets."""
+    """Shared head (cls_reg_share + strides_share): 4 stacked conv+BN+relu at
+    80 channels, then score/bbox/kps 3x3 branches; 2 anchors per location.
+    The bnkps export uses BatchNorm in the head (the 'bn' in the name)."""
 
     channels: int = 80
-    stacked: int = 2
+    stacked: int = 4
     num_anchors: int = 2
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = x
         for i in range(self.stacked):
-            h = nn.Conv(self.channels, (3, 3), padding="SAME", name=f"conv{i}")(h)
-            h = nn.GroupNorm(num_groups=8, name=f"gn{i}")(h)
+            h = nn.Conv(self.channels, (3, 3), padding="SAME",
+                        use_bias=False, name=f"conv{i}")(h)
+            h = _bn(train, f"bn{i}")(h)
             h = nn.relu(h)
         a = self.num_anchors
         score = nn.Conv(a * 1, (3, 3), padding="SAME", name="cls")(h)
@@ -162,10 +188,10 @@ class SCRFD(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = Backbone(name="backbone")(x, train)
+        feats = ResNetV1e(name="backbone")(x, train)
         feats = PAFPN(name="neck")(feats, train)
         head = SCRFDHead(name="head")  # shared across strides (SCRFD design)
-        return {s: head(f) for s, f in zip(self.strides, feats)}
+        return {s: head(f, train) for s, f in zip(self.strides, feats)}
 
 
 def preprocess(img: np.ndarray, input_size=(640, 640)):

@@ -53,9 +53,13 @@ def avg_pool(x: jax.Array, window: tuple[int, ...]) -> jax.Array:
     return summed / jnp.prod(jnp.array(window)).astype(x.dtype)
 
 
-def max_pool(x: jax.Array, window: tuple[int, ...]) -> jax.Array:
+def max_pool(x: jax.Array, window: tuple[int, ...],
+             strides: tuple[int, ...] | None = None) -> jax.Array:
+    """Max pool over spatial dims of (N, *spatial, C); stride defaults to
+    the window (non-overlapping)."""
     dims = (1, *window, 1)
-    return lax.reduce_window(x, -jnp.inf, lax.max, dims, dims, "VALID")
+    strd = dims if strides is None else (1, *strides, 1)
+    return lax.reduce_window(x, -jnp.inf, lax.max, dims, strd, "VALID")
 
 
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:

@@ -65,9 +65,32 @@ class FaceAnalysis:
         det_size: tuple[int, int] = (512, 512),
         det_thresh: float = 0.5,
         rng=None,
+        det_onnx: str | None = None,
     ):
+        """``det_onnx``: path to a real det_10g.onnx — the graph is executed
+        directly (runtime/onnx_sidecars.py), no topology assumption; without
+        it the native flax SCRFD runs (weights via runtime/onnx_map.py or
+        random)."""
         self.det_size = det_size
         self.det_thresh = det_thresh
+        if det_onnx is not None:
+            from canonswap_tpu.ops.detection import decode_scrfd
+            from canonswap_tpu.runtime.onnx_sidecars import (
+                make_scrfd_onnx_apply)
+
+            onnx_apply = make_scrfd_onnx_apply(det_onnx)
+            self.det_model = None
+            self.det_params = None
+
+            def _detect(_params, blob):
+                return decode_scrfd(
+                    onnx_apply(blob), input_size=self.det_size,
+                    score_thresh=self.det_thresh,
+                )
+
+            self._detect = _detect
+            self.lmk106 = lmk106
+            return
         self.det_model = S.SCRFD()
         if det_params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -145,21 +145,72 @@ class OnnxNode:
     name: str
     inputs: list[str]
     outputs: list[str]
+    attrs: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
 class OnnxGraph:
     initializers: dict[str, np.ndarray]
     nodes: list[OnnxNode]
+    inputs: list[str] = dataclasses.field(default_factory=list)
+    outputs: list[str] = dataclasses.field(default_factory=list)
 
     def by_op(self, op_type: str) -> list[OnnxNode]:
         return [n for n in self.nodes if n.op_type == op_type]
+
+
+def _parse_attr(buf: bytes) -> tuple[str, object]:
+    """AttributeProto -> (name, python value).  Handles the fields the
+    insightface/LivePortrait model families use: f=2, i=3, s=4, t=5,
+    floats=7, ints=8, strings=9 (onnx.proto3)."""
+    name = ""
+    val = None
+    floats: list[float] = []
+    ints: list[int] = []
+    strings: list[bytes] = []
+    for field, wtype, v in _iter_fields(buf):
+        if field == 1 and wtype == 2:
+            name = v.decode("utf-8")
+        elif field == 2 and wtype == 5:
+            val = struct.unpack("<f", v)[0]
+        elif field == 3 and wtype == 0:
+            # protobuf encodes negative int64 as 10-byte varints (two's
+            # complement); fold back into a signed value
+            val = v - (1 << 64) if v >= (1 << 63) else v
+        elif field == 4 and wtype == 2:
+            val = v.decode("utf-8", "replace")
+        elif field == 5 and wtype == 2:
+            val = _parse_tensor(v)[1]
+        elif field == 7:
+            if wtype == 2:
+                floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
+            else:
+                floats.append(struct.unpack("<f", v)[0])
+        elif field == 8:
+            if wtype == 2:
+                pos = 0
+                while pos < len(v):
+                    x, pos = _read_varint(v, pos)
+                    ints.append(x - (1 << 64) if x >= (1 << 63) else x)
+            else:
+                ints.append(v - (1 << 64) if v >= (1 << 63) else v)
+        elif field == 9 and wtype == 2:
+            strings.append(v)
+    if val is None:
+        if ints:
+            val = ints
+        elif floats:
+            val = floats
+        elif strings:
+            val = [s.decode("utf-8", "replace") for s in strings]
+    return name, val
 
 
 def _parse_node(buf: bytes) -> OnnxNode:
     inputs, outputs = [], []
     name = ""
     op_type = ""
+    attrs: dict = {}
     for field, wtype, val in _iter_fields(buf):
         if field == 1 and wtype == 2:
             inputs.append(val.decode("utf-8"))
@@ -169,19 +220,38 @@ def _parse_node(buf: bytes) -> OnnxNode:
             name = val.decode("utf-8")
         elif field == 4 and wtype == 2:
             op_type = val.decode("utf-8")
-    return OnnxNode(op_type, name, inputs, outputs)
+        elif field == 5 and wtype == 2:
+            k, v = _parse_attr(val)
+            attrs[k] = v
+    return OnnxNode(op_type, name, inputs, outputs, attrs)
+
+
+def _parse_value_info_name(buf: bytes) -> str:
+    for field, wtype, val in _iter_fields(buf):
+        if field == 1 and wtype == 2:
+            return val.decode("utf-8")
+    return ""
 
 
 def _parse_graph(buf: bytes) -> OnnxGraph:
     inits: dict[str, np.ndarray] = {}
     nodes: list[OnnxNode] = []
+    gin: list[str] = []
+    gout: list[str] = []
     for field, wtype, val in _iter_fields(buf):
         if field == 5 and wtype == 2:
             name, arr = _parse_tensor(val)
             inits[name] = arr
         elif field == 1 and wtype == 2:
             nodes.append(_parse_node(val))
-    return OnnxGraph(inits, nodes)
+        elif field == 11 and wtype == 2:
+            gin.append(_parse_value_info_name(val))
+        elif field == 12 and wtype == 2:
+            gout.append(_parse_value_info_name(val))
+    # graph "inputs" include initializers in some exporters; keep only the
+    # true runtime inputs
+    gin = [n for n in gin if n not in inits]
+    return OnnxGraph(inits, nodes, gin, gout)
 
 
 def load_onnx(path_or_bytes) -> OnnxGraph:
@@ -227,27 +297,72 @@ def _enc_int(field: int, val: int) -> bytes:
 
 
 def build_tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr)
+    shape = arr.shape  # np.ascontiguousarray would promote 0-d to 1-d
     arr = np.ascontiguousarray(arr)
-    out = b"".join(_enc_int(1, d) for d in arr.shape)
+    out = b"".join(_enc_int(1, d) for d in shape)
     out += _enc_int(2, _NP_TO_ONNX[arr.dtype])
     out += _enc_ld(8, name.encode("utf-8"))
     out += _enc_ld(9, arr.tobytes())
     return out
 
 
-def build_node(op_type: str, inputs, outputs, name: str = "") -> bytes:
+def _enc_sint64(field: int, val: int) -> bytes:
+    return _enc_varint((field << 3) | 0) + _enc_varint(val & ((1 << 64) - 1))
+
+
+def build_attr(name: str, value) -> bytes:
+    """Encode one AttributeProto (int / float / str / int-list / float-list /
+    tensor), including the ``type`` discriminator onnxruntime expects."""
+    out = _enc_ld(1, name.encode("utf-8"))
+    if isinstance(value, bool):
+        value = int(value)
+    if isinstance(value, int):
+        out += _enc_sint64(3, value) + _enc_int(20, 2)  # INT
+    elif isinstance(value, float):
+        out += _enc_varint((2 << 3) | 5) + struct.pack("<f", value)
+        out += _enc_int(20, 1)  # FLOAT
+    elif isinstance(value, str):
+        out += _enc_ld(4, value.encode("utf-8")) + _enc_int(20, 3)  # STRING
+    elif isinstance(value, np.ndarray):
+        out += _enc_ld(5, build_tensor("", value)) + _enc_int(20, 4)  # TENSOR
+    elif isinstance(value, (list, tuple)) and value and isinstance(
+            value[0], float):
+        for v in value:
+            out += _enc_varint((7 << 3) | 5) + struct.pack("<f", v)
+        out += _enc_int(20, 6)  # FLOATS
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            out += _enc_sint64(8, int(v))
+        out += _enc_int(20, 7)  # INTS
+    else:
+        raise TypeError(f"unsupported attribute value: {value!r}")
+    return out
+
+
+def build_node(op_type: str, inputs, outputs, name: str = "",
+               attrs: dict | None = None) -> bytes:
     out = b"".join(_enc_ld(1, i.encode("utf-8")) for i in inputs)
     out += b"".join(_enc_ld(2, o.encode("utf-8")) for o in outputs)
     if name:
         out += _enc_ld(3, name.encode("utf-8"))
     out += _enc_ld(4, op_type.encode("utf-8"))
+    for k, v in (attrs or {}).items():
+        out += _enc_ld(5, build_attr(k, v))
     return out
 
 
-def build_onnx(nodes: list[bytes], initializers: dict[str, np.ndarray]) -> bytes:
+def _build_value_info(name: str) -> bytes:
+    return _enc_ld(1, name.encode("utf-8"))
+
+
+def build_onnx(nodes: list[bytes], initializers: dict[str, np.ndarray],
+               inputs: list[str] = (), outputs: list[str] = ()) -> bytes:
     """Assemble a ModelProto byte string from encoded nodes + initializers."""
     graph = b"".join(_enc_ld(1, n) for n in nodes)
     graph += b"".join(
         _enc_ld(5, build_tensor(k, v)) for k, v in initializers.items()
     )
+    graph += b"".join(_enc_ld(11, _build_value_info(n)) for n in inputs)
+    graph += b"".join(_enc_ld(12, _build_value_info(n)) for n in outputs)
     return _enc_ld(7, graph)

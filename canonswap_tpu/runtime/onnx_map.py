@@ -41,11 +41,20 @@ class WeightOp:
 
 
 def onnx_weight_sequence(graph: OnnxGraph) -> list[WeightOp]:
-    """Parameterized ops in node (execution) order, arrays in flax layout."""
+    """Parameterized ops in node (execution) order, arrays in flax layout.
+
+    A weight initializer referenced by multiple nodes (stride-shared SCRFD
+    heads: the same cls/reg/kps weights feed one Conv node per FPN level)
+    is emitted once, at its first use — matching the single flax param slot
+    of the shared module."""
     init = graph.initializers
     seq: list[WeightOp] = []
+    consumed: set[str] = set()
     for node in graph.nodes:
         ins = [i for i in node.inputs]
+        if any(i in consumed for i in ins[1:]):
+            continue
+        consumed.update(i for i in ins[1:] if i in init)
         if node.op_type == "Conv" and len(ins) >= 2 and ins[1] in init:
             w = init[ins[1]]  # (O, I/g, kh, kw)
             arrays = {"kernel": np.transpose(w, (2, 3, 1, 0))}
@@ -228,19 +237,50 @@ def assign_onnx_weights(
     variables = jax.tree.map(np.asarray, dict(variables))
     slots = flax_param_slots(variables, call_order)
     ops = onnx_weight_sequence(graph)
-    n_expected = sum(2 if s.kind == "norm" else 1 for s in slots)
-    if n_expected != len(ops):
-        raise ValueError(
-            f"op count mismatch: flax needs {n_expected} parameterized ops, "
-            f"onnx graph has {len(ops)} "
-            f"(first flax: {[s.path[-2:] for s in slots[:4]]}, "
-            f"first onnx: {[(o.kind, o.name) for o in ops[:4]]})"
-        )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     oi = 0
-    for slot in slots:
+    fused_bn_paths: list[tuple] = []
+    for si, slot in enumerate(slots):
+        if oi >= len(ops):
+            raise ValueError(
+                f"onnx graph ran out of parameterized ops at flax slot "
+                f"{'/'.join(slot.path)} ({si + 1}/{len(slots)})"
+            )
         op = ops[oi]
+
+        # Real insightface exports fold BatchNorm into the preceding conv
+        # (conv gains a bias, the BN node disappears).  When the flax module
+        # expects conv(no bias) + BN but the stream offers conv-with-bias and
+        # no BN next, assign the kernel and synthesize an identity BN that
+        # carries the exported bias: (x - 0) * s / sqrt(1 + eps) + b with
+        # s = sqrt(1 + eps) is exactly x + b.
+        if (
+            slot.kind == "conv"
+            and op.kind == "conv"
+            and "bias" not in slot.shapes
+            and "bias" in op.arrays
+            and si + 1 < len(slots)
+            and slots[si + 1].kind == "bn"
+            and not (oi + 1 < len(ops) and ops[oi + 1].kind == "bn")
+        ):
+            _set(params, slot.path, "kernel", op.arrays["kernel"])
+            bn_slot = slots[si + 1]
+            c = op.arrays["bias"].shape[0]
+            eps = 1e-5  # every BatchNorm in this repo uses epsilon=1e-5
+            _set(params, bn_slot.path, "scale",
+                 np.full((c,), np.sqrt(1.0 + eps), np.float32))
+            _set(params, bn_slot.path, "bias", op.arrays["bias"])
+            _set(stats, bn_slot.path, "mean", np.zeros((c,), np.float32))
+            _set(stats, bn_slot.path, "var", np.ones((c,), np.float32))
+            fused_bn_paths.append(bn_slot.path)
+            oi += 1
+            continue
+        if slot.kind == "bn" and tuple(slot.path) in (
+            tuple(p) for p in fused_bn_paths
+        ):
+            continue  # already filled by the fused-conv branch
+
         oi += 1
         kind = "conv" if op.kind == "conv_transpose" else op.kind
         if slot.kind == "norm":
@@ -286,6 +326,12 @@ def assign_onnx_weights(
                         f"{'/'.join(slot.path)} does not"
                     )
                 _set(params, slot.path, "bias", op.arrays["bias"])
+    if oi != len(ops):
+        raise ValueError(
+            f"onnx graph has {len(ops) - oi} unconsumed parameterized ops "
+            f"after filling all {len(slots)} flax slots "
+            f"(next: {[(o.kind, o.name) for o in ops[oi:oi + 4]]})"
+        )
     return variables
 
 
@@ -314,9 +360,16 @@ def convert_onnx_for(module, path_or_bytes, *example_args) -> dict:
 
 
 def export_onnx_fixture(
-    variables: dict, call_order: list[tuple] | None = None
+    variables: dict, call_order: list[tuple] | None = None,
+    fuse_bn: bool = False,
 ) -> bytes:
-    """Serialize a param tree to ONNX bytes with the matching op sequence."""
+    """Serialize a param tree to ONNX bytes with the matching op sequence.
+
+    ``fuse_bn=True`` reproduces what real insightface exports look like:
+    each conv + following BatchNorm collapses into ONE Conv node with the
+    BN folded into kernel/bias (W' = W * s/sqrt(v+eps), b' = b - m*s/
+    sqrt(v+eps)) and no BatchNormalization nodes remain — the det_10g /
+    2d106det op-diet that assign_onnx_weights' fused branch must zip."""
     from canonswap_tpu.runtime import onnx_import as OI
 
     slots = flax_param_slots(variables, call_order)
@@ -332,15 +385,32 @@ def export_onnx_fixture(
     nodes: list[bytes] = []
     inits: dict[str, np.ndarray] = {}
     prev = "input"
+    skip = set()
     for i, s in enumerate(slots):
+        if i in skip:
+            continue
         base = f"w{i}"
         out_name = f"t{i}"
         if s.kind == "conv":
             k = get(params, s.path, "kernel")
+            bias = get(params, s.path, "bias") if "bias" in s.shapes else None
+            if (
+                fuse_bn and i + 1 < len(slots) and slots[i + 1].kind == "bn"
+            ):
+                bs = slots[i + 1]
+                scale = get(params, bs.path, "scale")
+                bbias = get(params, bs.path, "bias")
+                mean = get(stats, bs.path, "mean")
+                var = get(stats, bs.path, "var")
+                f = scale / np.sqrt(var + 1e-5)
+                k = k * f  # (kh,kw,in,out) * (out,)
+                bias = (bias if bias is not None else 0.0) * f + bbias \
+                    - mean * f
+                skip.add(i + 1)
             inits[base + "_W"] = np.transpose(k, (3, 2, 0, 1))
             ins = [prev, base + "_W"]
-            if "bias" in s.shapes:
-                inits[base + "_B"] = get(params, s.path, "bias")
+            if bias is not None:
+                inits[base + "_B"] = np.asarray(bias, np.float32)
                 ins.append(base + "_B")
             nodes.append(OI.build_node("Conv", ins, [out_name], base))
         elif s.kind == "dense":

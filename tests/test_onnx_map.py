@@ -98,8 +98,55 @@ def test_sequence_kinds_and_order():
     ops = onnx_weight_sequence(OI.load_onnx(blob))
     assert [o.kind for o in ops] == ["conv", "bn"]
     # conv weight went through OIHW -> HWIO and back
-    k = np.asarray(v["params"]["Conv_0"]["kernel"])
+    k = np.asarray(v["params"]["conv"]["kernel"])
     np.testing.assert_allclose(ops[0].arrays["kernel"], k)
+
+
+def test_scrfd_fused_bn_export_maps_back():
+    """The det_10g-realistic fixture: insightface exports fold every BN into
+    its conv (Conv-with-bias nodes, zero BatchNormalization nodes).  The
+    mapper's fused branch must zip that stream onto our conv+BN module and
+    reproduce the original forward numerically."""
+    from canonswap_tpu.models.scrfd import SCRFD
+
+    m = SCRFD()
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3))
+    v_src = m.init(jax.random.PRNGKey(0), x)
+    v_dst = m.init(jax.random.PRNGKey(1), x)
+    order = module_call_order(m, x)
+    blob = export_onnx_fixture(
+        jax.tree.map(np.asarray, dict(v_src)), order, fuse_bn=True)
+    graph = OI.load_onnx(blob)
+    # the fixture really is in exported form: no BN nodes survive
+    assert not graph.by_op("BatchNormalization")
+    assert all(len(n.inputs) == 3 for n in graph.by_op("Conv"))
+    v_out = assign_onnx_weights(dict(v_dst), graph, order)
+    a = m.apply(v_src, x)
+    b = m.apply(v_out, x)
+    for s in (8, 16, 32):
+        for k in ("score", "bbox", "kps"):
+            np.testing.assert_allclose(
+                np.asarray(a[s][k]), np.asarray(b[s][k]),
+                rtol=2e-4, atol=2e-4, err_msg=f"{s}/{k}")
+
+
+def test_shared_head_initializers_dedupe():
+    """Real det_10g references the stride-shared head weights from one Conv
+    node PER FPN level; the weight sequence must emit each initializer once
+    (first use) so it zips against the single shared flax slot."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 3, 3, 3), np.float32)
+    b = rng.standard_normal((4,), np.float32)
+    nodes = [
+        OI.build_node("Conv", ["in8", "head_W", "head_B"], ["s8"], "c8"),
+        OI.build_node("Conv", ["in16", "head_W", "head_B"], ["s16"], "c16"),
+        OI.build_node("Conv", ["in32", "head_W", "head_B"], ["s32"], "c32"),
+    ]
+    graph = OI.load_onnx(OI.build_onnx(nodes, {"head_W": w, "head_B": b}))
+    ops = onnx_weight_sequence(graph)
+    assert len(ops) == 1 and ops[0].kind == "conv"
+    np.testing.assert_allclose(
+        ops[0].arrays["kernel"], np.transpose(w, (2, 3, 1, 0)))
 
 
 def test_convert_cli_onnx(tmp_path):
