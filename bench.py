@@ -97,6 +97,8 @@ def slope_fps(step_fn, frames, ctx, batch, n_long):
 
 
 def main():
+    import dataclasses
+
     from canonswap_tpu.configs.model_config import CANONICAL
     from canonswap_tpu.models.landmark import Landmark203Runner
     from canonswap_tpu.models.parsing import (
@@ -109,9 +111,21 @@ def main():
     ]
     batch = int(os.environ.get("CANONSWAP_BENCH_BATCH", "16"))
     n_long = int(os.environ.get("CANONSWAP_BENCH_N", "4"))
-    only = os.environ.get("CANONSWAP_BENCH_ONLY", "e2e,core,multiface").split(",")
+    only = os.environ.get(
+        "CANONSWAP_BENCH_ONLY", "e2e,fast,core,multiface").split(",")
 
     core = C.CanonSwapCore(CANONICAL)
+    # fast mode: half-res dense motion + W8A8 int8 hot convs — the flagged
+    # speed/quality levers (InferenceConfig.dense_motion_scale / flag_int8).
+    # SAME parameter tree as the exact model; quality tracked below as SSIM
+    # of fast-vs-exact outputs on identical inputs/weights.
+    fast_cfg = dataclasses.replace(
+        CANONICAL,
+        warping=dataclasses.replace(CANONICAL.warping, dense_motion_scale=2),
+        swap=dataclasses.replace(CANONICAL.swap, int8_conv=True),
+        spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
+    )
+    core_fast = C.CanonSwapCore(fast_cfg)
     with jax.default_device(jax.devices("cpu")[0]):
         params_f32 = core.init_params(jax.random.PRNGKey(0))
         lmk = Landmark203Runner(rng=jax.random.PRNGKey(1))
@@ -131,11 +145,12 @@ def main():
 
     ctx = {"params": params, "sid": sid, "lmk_p": lmk_p, "seg_p": seg_p}
 
-    def generator_chk(f, ctx, n_faces=1):
+    def generator_chk(f, ctx, n_faces=1, which_core=None):
         chk = jnp.zeros((), jnp.float32)
         for i in range(n_faces):
             face_sid = ctx["sid"] if i == 0 else ctx["sid"] * 0.5
-            out, _ = C.swap_with_motion(core, ctx["params"], f, face_sid)
+            out, _ = C.swap_with_motion(
+                which_core or core, ctx["params"], f, face_sid)
             chk = chk + jnp.mean(out["out"].astype(jnp.float32))
         return chk
 
@@ -153,6 +168,7 @@ def main():
         return jnp.mean(pts.astype(jnp.float32)) + jnp.mean(mask)
 
     results = {}
+    quality = {}
     if "core" in only:
         print("# core_generator", file=sys.stderr)
         results["core_generator"] = slope_fps(
@@ -162,20 +178,53 @@ def main():
         results["e2e"] = slope_fps(
             lambda f, c: generator_chk(f, c) + sidecars_chk(f, c),
             frames, ctx, batch, n_long)
+    if "fast" in only:
+        # fast-mode quality gate: SSIM of fast vs exact outputs on the same
+        # weights + structured input (a real gradient image, not noise)
+        print("# e2e_fast (half-res dense motion + int8 hot convs)",
+              file=sys.stderr)
+        from canonswap_tpu.utils.metrics import ssim
+
+        yy, xx = jnp.meshgrid(
+            jnp.linspace(0, 1, s), jnp.linspace(0, 1, s), indexing="ij")
+        img = jnp.stack([xx, yy, 0.5 * (xx + yy)], -1)[None]
+        probe = jnp.broadcast_to(img, (batch, s, s, 3)).astype(dtype)
+        out_exact, _ = jax.jit(C.swap_with_motion, static_argnums=0)(
+            core, ctx["params"], probe, ctx["sid"])
+        out_fast, _ = jax.jit(C.swap_with_motion, static_argnums=0)(
+            core_fast, ctx["params"], probe, ctx["sid"])
+        import numpy as np
+
+        a = np.clip(np.asarray(out_exact["out"], np.float32), 0, 1)
+        b = np.clip(np.asarray(out_fast["out"], np.float32), 0, 1)
+        quality["fast_ssim_vs_exact"] = round(
+            float(np.mean([ssim(a[i], b[i], data_range=1.0)
+                           for i in range(a.shape[0])])), 4)
+        quality["fast_maxabs_vs_exact"] = round(float(np.max(np.abs(a - b))), 4)
+        results["e2e_fast"] = slope_fps(
+            lambda f, c: generator_chk(f, c, which_core=core_fast)
+            + sidecars_chk(f, c),
+            frames, ctx, batch, n_long)
     if "multiface" in only:
         print("# multiface (2 faces/frame, e2e)", file=sys.stderr)
         results["multiface_2"] = slope_fps(
             lambda f, c: generator_chk(f, c, n_faces=2) + sidecars_chk(f, c),
             frames, ctx, batch, n_long)
 
-    headline = results.get("e2e") or next(iter(results.values()))
+    for key in ("e2e_fast", "e2e"):
+        if key in results:
+            head_key, headline = key, results[key]
+            break
+    else:
+        head_key, headline = next(iter(results.items()))
     extra = {k: round(v, 2) for k, v in results.items()}
+    extra.update(quality)
     extra["batch"] = batch
     extra["dtype"] = dtype.__name__
     print(
         json.dumps(
             {
-                "metric": "swapped_512p_frames_per_sec_per_chip(e2e)",
+                "metric": f"swapped_512p_frames_per_sec_per_chip({head_key})",
                 "value": round(headline, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(headline / 60.0, 3),

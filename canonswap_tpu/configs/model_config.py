@@ -46,6 +46,10 @@ class WarpingConfig:
     num_down_blocks: int = 2
     reshape_channel: int = 32
     estimate_occlusion_map: bool = True
+    # >1 estimates the dense deformation field at 1/N in-plane resolution and
+    # bilinearly upsamples it (exact reference semantics at 1; ~4x cheaper
+    # dense-motion stage at 2 — see models/dense_motion.py::field_scale)
+    dense_motion_scale: int = 1
     dense_motion: DenseMotionConfig = dataclasses.field(
         default_factory=DenseMotionConfig
     )
@@ -61,6 +65,9 @@ class SpadeConfig:
     # live power-iteration spectral norm on the SPADE convs (training from
     # scratch); converted inference checkpoints have it baked in instead.
     spectral_norm: bool = False
+    # W8A8 int8 convs where MXU-bound (<=128^2 spatial; ops/qconv.py) —
+    # the flag_int8 speed/quality lever, off by default (exact bf16)
+    int8_conv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +75,7 @@ class SwapConfig:
     latent_dim: int = 512
     n_blocks: int = 7  # adaptive 2D blocks (transfer_model2)
     n_resblocks_3d: int = 6
+    int8_conv: bool = False  # W8A8 adaptive convs (see SpadeConfig.int8_conv)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,16 @@ from canonswap_tpu.configs.model_config import DenseMotionConfig
 from canonswap_tpu.nn.blocks import Hourglass
 from canonswap_tpu.ops.grid_sample import grid_sample_3d_ref
 from canonswap_tpu.ops.heatmap import kp2gaussian, make_coordinate_grid_3d
-from canonswap_tpu.ops.resize import volume_to_2d
+from canonswap_tpu.ops.resize import avg_pool, volume_to_2d
+
+
+def _bilinear_upsample_plane(x: jax.Array, fs: int) -> jax.Array:
+    """Half-pixel bilinear x``fs`` upsample over the in-plane (H, W) axes of
+    (B, H, W, C) or (B, D, H, W, C)."""
+    shape = list(x.shape)
+    shape[-3] *= fs
+    shape[-2] *= fs
+    return jax.image.resize(x, tuple(shape), method="linear")
 
 
 def create_sparse_motions(
@@ -80,17 +89,74 @@ def create_deformed_feature_translated(
     return warped.reshape(b, k + 1, d, h, w, c)
 
 
+def build_hourglass_input(
+    feature: jax.Array, kp_driving: jax.Array, kp_source: jax.Array,
+    kp_variance: float = 0.01,
+) -> jax.Array:
+    """Fused hg_in build: (B,D,H,W,Cc) compressed volume + kp pairs ->
+    (B,D,H,W,(K+1)(Cc+1)) hourglass input, kp-major channel interleave
+    (torch cat/view compatible, reference dense_motion.py:83-84).
+
+    Same math as create_deformed_feature_translated + kp2gaussian + the
+    stack/moveaxis, but the kp axis is CREATED by the first banded-matrix
+    contraction (no (K+1)-way broadcast of the volume) and the final einsum
+    emits the transposed layout directly (measured 5.7 -> 4.4 ms/step at
+    B=16 CANONICAL; tools/exp_r3.py hg_in_v2)."""
+    from canonswap_tpu.ops.grid_sample import _axis_resample_matrix
+
+    b, d, h, w, c = feature.shape
+    dt = feature.dtype
+    shifts = jnp.concatenate(
+        [jnp.zeros((b, 1, 3), dt), (kp_source - kp_driving).astype(dt)],
+        axis=1)  # (B, K+1, 3)
+
+    def mats(size, s1d):
+        return jax.vmap(jax.vmap(
+            lambda s: _axis_resample_matrix(size, s, dt)))(s1d)
+
+    wz = mats(d, shifts[..., 2])
+    wy = mats(h, shifts[..., 1])
+    wx = mats(w, shifts[..., 0])
+    t = jnp.einsum("bkad,bdhwc->bkahwc", wz, feature)
+    t = jnp.einsum("bkah,bkdhwc->bkdawc", wy, t)
+    t = jnp.einsum("bkaw,bkdhwc->bdhakc", wx, t)  # (B,D,H,W,K+1,Cc)
+
+    # heatmap difference with the kp axis LAST (no transpose of a
+    # tiny-channel tensor); channel 0 of each kp group is the heatmap
+    grid = make_coordinate_grid_3d((d, h, w), dt)  # (D,H,W,3)
+
+    def gauss(kp):
+        diff = grid[None, :, :, :, None, :] - kp[:, None, None, None, :, :]
+        return jnp.exp(-0.5 * jnp.sum(diff * diff, -1) / kp_variance)
+
+    heat = gauss(kp_driving.astype(dt)) - gauss(kp_source.astype(dt))
+    heat = jnp.concatenate([jnp.zeros_like(heat[..., :1]), heat], axis=-1)
+    stacked = jnp.concatenate([heat[..., None], t], axis=-1)
+    return stacked.reshape(b, d, h, w, -1)
+
+
 class DenseMotionNetwork(nn.Module):
+    """``field_scale > 1`` runs the WHOLE estimation pipeline (deformed
+    features, heatmaps, hourglass, mask/occlusion heads) at 1/field_scale
+    in-plane resolution and bilinearly upsamples the smooth outputs
+    (deformation field, occlusion logits) back to full res.  The parameter
+    tree is unchanged (same convs, same converted weights); default 1 is
+    bit-exact to the reference semantics.  This is the sanctioned speed
+    lever for the ~48 TF/s hourglass stage — deformation fields are smooth,
+    so estimating them at half resolution loses little (gate via
+    InferenceConfig.dense_motion_scale; quality tracked in bench.py)."""
+
     cfg: DenseMotionConfig = DenseMotionConfig()
     num_kp: int = 21
     estimate_occlusion_map: bool = True
+    field_scale: int = 1
 
     @nn.compact
     def __call__(self, feature, kp_driving, kp_source, train: bool = False):
         """feature: (B, D, H, W, C); kp_*: (B, K, 3).
 
         Returns dict(deformation=(B, D, H, W, 3), occlusion_map=(B, H, W, 1),
-        mask=(B, D, H, W, K+1)).
+        mask=(B, Ds, Hs, Ws, K+1)).
         """
         c = self.cfg
         b, d, h, w, _ = feature.shape
@@ -104,24 +170,14 @@ class DenseMotionNetwork(nn.Module):
                          epsilon=1e-5, name="norm")(x)
         x = nn.relu(x)
 
-        deformed = create_deformed_feature_translated(
-            x, kp_driving, kp_source
-        )  # (B,K+1,D,H,W,Cc)
+        fs = self.field_scale
+        hs, ws = h // fs, w // fs
+        if fs > 1:
+            x = avg_pool(x, (1, fs, fs))
 
-        g_drv = kp2gaussian(kp_driving, (d, h, w), 0.01)
-        g_src = kp2gaussian(kp_source, (d, h, w), 0.01)
-        heat = g_drv - g_src  # (B, K, D, H, W)
-        heat = jnp.concatenate(
-            [jnp.zeros_like(heat[:, :1]), heat], axis=1
-        )  # (B, K+1, D, H, W)
-
-        # stack [heatmap, deformed] per kp; flat channel = kp*(Cc+1)+c to stay
-        # compatible with the torch cat/view (dense_motion.py:83-84)
-        heat_last = heat.transpose(0, 2, 3, 4, 1)[..., None]  # (B,D,H,W,K+1,1)
-        def_last = jnp.moveaxis(deformed, 1, 4)  # (B,D,H,W,K+1,Cc)
-        stacked = jnp.concatenate([heat_last, def_last], axis=-1)
-        # stacked: (B, D, H, W, K+1, Cc+1) -> (B, D, H, W, (K+1)*(Cc+1))
-        hg_in = stacked.reshape(b, d, h, w, -1)
+        # fused hg_in build: translated per-kp warps + heatmap difference,
+        # kp-major interleave (exact; tools/exp_r3.py hg_in_v2)
+        hg_in = build_hourglass_input(x, kp_driving, kp_source)
 
         prediction = Hourglass(
             block_expansion=c.block_expansion,
@@ -137,19 +193,29 @@ class DenseMotionNetwork(nn.Module):
         # (dense_motion.py:18 "NOTE: computation cost is large"); the depth
         # decomposition halves it on TPU (bench: 42.8 -> 21.0 ms/step)
         mask = Conv3D(k + 1, (7, 7, 7), name="mask")(prediction)
-        mask = jax.nn.softmax(mask, axis=-1)  # (B, D, H, W, K+1)
+        mask = jax.nn.softmax(mask, axis=-1)  # (B, D, Hs, Ws, K+1)
         # combine WITHOUT materializing the (B,K+1,D,H,W,3) sparse-motion
         # stack: sum_k mask_k * (grid + shift_k) distributes into
         # grid * sum(mask) + mask[1:] . shifts (shift_0 = 0).  Identical math
         # reassociated; saves ~0.5 GB of intermediate per 16-frame step.
-        grid = make_coordinate_grid_3d((d, h, w), mask.dtype)
+        grid = make_coordinate_grid_3d((d, hs, ws), mask.dtype)
         shifts = (kp_source - kp_driving).astype(mask.dtype)  # (B, K, 3)
         deformation = grid[None] * jnp.sum(mask, axis=-1, keepdims=True) \
             + jnp.einsum("bdhwk,bkc->bdhwc", mask[..., 1:], shifts)
+        if fs > 1:
+            # the half-res identity grid differs from the full-res one (both
+            # are corner-aligned), so upsample the smooth DISPLACEMENT and
+            # re-add the full-res grid
+            disp = deformation - grid[None]
+            disp = _bilinear_upsample_plane(disp, fs)
+            deformation = make_coordinate_grid_3d(
+                (d, h, w), mask.dtype)[None] + disp
 
         out = {"deformation": deformation, "mask": mask}
         if self.estimate_occlusion_map:
-            pred2d = volume_to_2d(prediction)  # (B, H, W, F*D), torch order
+            pred2d = volume_to_2d(prediction)  # (B, Hs, Ws, F*D), torch order
             occ = nn.Conv(1, (7, 7), padding="SAME", name="occlusion")(pred2d)
+            if fs > 1:
+                occ = _bilinear_upsample_plane(occ, fs)
             out["occlusion_map"] = jax.nn.sigmoid(occ)
         return out

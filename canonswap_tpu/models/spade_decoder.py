@@ -24,13 +24,16 @@ class SPADEDecoder(nn.Module):
         ic = min(c.max_features, c.block_expansion * (2**c.num_down_blocks))
         seg = feature
         sn = c.spectral_norm
+        q = c.int8_conv
         x = nn.Conv(2 * ic, (3, 3), padding="SAME", name="fc")(feature)
         for i in range(6):
-            x = SPADEResnetBlock(2 * ic, 2 * ic, sn=sn, name=f"G_middle_{i}")(x, seg)
+            x = SPADEResnetBlock(2 * ic, 2 * ic, sn=sn, int8=q,
+                                 name=f"G_middle_{i}")(x, seg)
         x = nearest_upsample(x, (2, 2))
-        x = SPADEResnetBlock(2 * ic, ic, sn=sn, name="up_0")(x, seg)
+        x = SPADEResnetBlock(2 * ic, ic, sn=sn, int8=q, name="up_0")(x, seg)
         x = nearest_upsample(x, (2, 2))
-        x = SPADEResnetBlock(ic, c.out_channels, sn=sn, name="up_1")(x, seg)
+        x = SPADEResnetBlock(ic, c.out_channels, sn=sn, int8=q,
+                             name="up_1")(x, seg)
         x = nn.leaky_relu(x, 0.2)
         if c.upscale is None or c.upscale <= 1:
             x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(x)

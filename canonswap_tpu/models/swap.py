@@ -30,6 +30,7 @@ class AdaptiveConv2d(nn.Module):
     features: int
     latent_dim: int
     kernel: int = 3
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, latent):
@@ -48,7 +49,7 @@ class AdaptiveConv2d(nn.Module):
         # learned spatial mask
         m = nn.Conv(1, (3, 3), padding="SAME", name="mask_conv")(x)
         mask = jax.nn.sigmoid(m)
-        out = adaptive_blend_conv(x, weight, s, mask, bias)
+        out = adaptive_blend_conv(x, weight, s, mask, bias, int8=self.int8)
         return out, mask
 
 
@@ -57,16 +58,15 @@ class AdaptiveResBlock2d(nn.Module):
 
     features: int
     latent_dim: int
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, latent):
-        y, mask1 = AdaptiveConv2d(self.features, self.latent_dim, name="conv1")(
-            x, latent
-        )
+        y, mask1 = AdaptiveConv2d(self.features, self.latent_dim,
+                                  int8=self.int8, name="conv1")(x, latent)
         y = nn.relu(y)
-        y, mask2 = AdaptiveConv2d(self.features, self.latent_dim, name="conv2")(
-            y, latent
-        )
+        y, mask2 = AdaptiveConv2d(self.features, self.latent_dim,
+                                  int8=self.int8, name="conv2")(y, latent)
         return x + y, (mask1 + mask2) / 2
 
 
@@ -86,7 +86,8 @@ class SwapModule(nn.Module):
         masks = []
         for i in range(self.cfg.n_blocks):
             x, mask = AdaptiveResBlock2d(
-                cd, self.cfg.latent_dim, name=f"bottleneck2d_{i}"
+                cd, self.cfg.latent_dim, int8=self.cfg.int8_conv,
+                name=f"bottleneck2d_{i}"
             )(x, id_latent)
             masks.append(mask)
         from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2

@@ -28,6 +28,7 @@ class WarpingNetwork(nn.Module):
             cfg=c.dense_motion,
             num_kp=c.num_kp,
             estimate_occlusion_map=c.estimate_occlusion_map,
+            field_scale=c.dense_motion_scale,
         )
         out_ch = c.block_expansion * (2**c.num_down_blocks)
         self.third = SameBlock2d(out_ch, lrelu=True)

@@ -283,10 +283,16 @@ class SPADE(nn.Module):
     integer multiple of it, so the nearest resize is an exact `repeat`.
     """
 
+    int8: bool = False
+
     @nn.compact
-    def __call__(self, x, segmap):
+    def __call__(self, x, segmap, normalized=None):
+        """``normalized`` lets the caller pass a precomputed instance_norm(x)
+        (SPADEResnetBlock shares it between norm_s and norm_0 — exact, the
+        two SPADEs normalize the same input)."""
         c = x.shape[-1]
-        normalized = instance_norm(x)
+        if normalized is None:
+            normalized = instance_norm(x)
         fh, fw = x.shape[1] // segmap.shape[1], x.shape[2] // segmap.shape[2]
         if fh == fw and fh in (1, 2, 4):
             # mlp_shared on the nearest-upsampled segmap folds to segmap
@@ -301,9 +307,49 @@ class SPADE(nn.Module):
             seg = nearest_upsample(segmap, (fh, fw))
             actv = nn.relu(
                 nn.Conv(128, (3, 3), padding="SAME", name="mlp_shared")(seg))
-        gamma = nn.Conv(c, (3, 3), padding="SAME", name="mlp_gamma")(actv)
-        beta = nn.Conv(c, (3, 3), padding="SAME", name="mlp_beta")(actv)
+        # ONE conv for [gamma | beta]: conv is linear in the kernel, so
+        # concatenating the kernels is exact — and doubles the MXU lane fill
+        # for the 64-channel up-blocks (N=64 -> 128)
+        kg, bg = _Conv3x3Params(c, 128, name="mlp_gamma")()
+        kb2, bb = _Conv3x3Params(c, 128, name="mlp_beta")()
+        kgb = jnp.concatenate([kg, kb2], axis=-1)
+        bgb = jnp.concatenate([bg, bb])
+        from canonswap_tpu.ops.qconv import conv2d_w8a8, int8_worthwhile
+
+        if self.int8 and int8_worthwhile(actv):
+            gb = conv2d_w8a8(actv, kgb, bgb)
+        else:
+            gb = jax.lax.conv_general_dilated(
+                actv, kgb, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bgb
+        gamma, beta = gb[..., :c], gb[..., c:]
         return normalized * (1 + gamma) + beta
+
+
+class _QConv(nn.Module):
+    """nn.Conv-compatible (params kernel/bias) W8A8 conv; falls back to the
+    exact conv when the shape isn't worth quantizing (ops/qconv.py)."""
+
+    features: int
+    kernel: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from canonswap_tpu.ops.qconv import conv2d_w8a8, int8_worthwhile
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if int8_worthwhile(x):
+            return conv2d_w8a8(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias if bias is not None else y
 
 
 class SPADEResnetBlock(nn.Module):
@@ -313,17 +359,21 @@ class SPADEResnetBlock(nn.Module):
     (runtime/weights.py::_conv_spectral); set ``sn=True`` for from-scratch
     training to apply live power-iteration spectral norm instead
     (nn/spectral.py) — param names are identical either way.
+    ``int8``: W8A8 convs where MXU-bound (the flag_int8 lever).
     """
 
     fin: int
     fout: int
     sn: bool = False
+    int8: bool = False
 
     def _conv(self, features, kernel, name, use_bias=True):
         if self.sn:
             from canonswap_tpu.nn.spectral import SNConv
 
             return SNConv(features, kernel, use_bias=use_bias, name=name)
+        if self.int8:
+            return _QConv(features, kernel, use_bias=use_bias, name=name)
         return nn.Conv(features, kernel, padding="SAME", use_bias=use_bias,
                        name=name)
 
@@ -332,12 +382,14 @@ class SPADEResnetBlock(nn.Module):
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         if learned_shortcut:
-            x_s = SPADE(name="norm_s")(x, seg)
+            xn = instance_norm(x)  # shared by norm_s and norm_0 (exact)
+            x_s = SPADE(int8=self.int8, name="norm_s")(x, seg, normalized=xn)
             x_s = self._conv(self.fout, (1, 1), "conv_s", use_bias=False)(x_s)
         else:
+            xn = None
             x_s = x
-        dx = SPADE(name="norm_0")(x, seg)
+        dx = SPADE(int8=self.int8, name="norm_0")(x, seg, normalized=xn)
         dx = self._conv(fmiddle, (3, 3), "conv_0")(nn.leaky_relu(dx, 0.2))
-        dx = SPADE(name="norm_1")(dx, seg)
+        dx = SPADE(int8=self.int8, name="norm_1")(dx, seg)
         dx = self._conv(self.fout, (3, 3), "conv_1")(nn.leaky_relu(dx, 0.2))
         return x_s + dx

@@ -249,6 +249,8 @@ def translate_volume_trilinear(vol: jax.Array, shift: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("impl",))
 def grid_sample_3d(vol: jax.Array, grid: jax.Array, impl: str = "auto") -> jax.Array:
     """Dispatching wrapper; ``impl`` in {"auto", "packed", "jnp"}."""
+    if impl not in ("auto", "packed", "jnp"):
+        raise ValueError(f"unknown grid_sample_3d impl: {impl!r}")
     if impl == "jnp":
         return grid_sample_3d_ref(vol, grid)
     return grid_sample_3d_packed(vol, grid)

@@ -70,6 +70,7 @@ def adaptive_blend_conv(
     bias: jax.Array | None = None,
     *,
     eps: float = 1e-8,
+    int8: bool = False,
 ) -> jax.Array:
     """The fused adaptive op: ``mask * out_mod + (1 - mask) * out_std``.
 
@@ -90,10 +91,19 @@ def adaptive_blend_conv(
     dn = _DN_2D if sp == 2 else _DN_3D
     style_b = style.reshape(N, *([1] * sp), -1)
     stacked = jnp.concatenate([x, x * style_b], axis=0)
-    y = lax.conv_general_dilated(
-        stacked, weight, window_strides=(1,) * sp, padding="SAME",
-        dimension_numbers=dn,
-    )
+    from canonswap_tpu.ops.qconv import int8_worthwhile
+
+    if int8 and sp == 2 and int8_worthwhile(stacked):
+        # W8A8 path (ops/qconv): per-sample activation scales absorb the
+        # style magnitudes of the stacked modulated half
+        from canonswap_tpu.ops.qconv import conv2d_w8a8
+
+        y = conv2d_w8a8(stacked, weight)
+    else:
+        y = lax.conv_general_dilated(
+            stacked, weight, window_strides=(1,) * sp, padding="SAME",
+            dimension_numbers=dn,
+        )
     out_std, out_mod = y[:N], y[N:]
     d = _demod(style, weight, sp, eps)
     out_mod = out_mod * d.reshape(N, *([1] * sp), -1)

@@ -88,6 +88,11 @@ def stages():
     yield "dense_motion", (
         lambda p, v, a, b2: dm.apply(p, v, a, b2), (dm_p, vol, kp1, kp2))
 
+    dm2 = DenseMotionNetwork(cfg=cfg.warping.dense_motion, num_kp=k,
+                             field_scale=2)
+    yield "dense_motion_half", (
+        lambda p, v, a, b2: dm2.apply(p, v, a, b2), (dm_p, vol, kp1, kp2))
+
     hg_in_ch = (k + 1) * (cfg.warping.dense_motion.compress + 1)  # 110
     hg = Hourglass(block_expansion=32, in_features=hg_in_ch, num_blocks=5,
                    max_features=1024)
