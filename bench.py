@@ -149,8 +149,12 @@ def main():
         chk = jnp.zeros((), jnp.float32)
         for i in range(n_faces):
             face_sid = ctx["sid"] if i == 0 else ctx["sid"] * 0.5
+            # each face sees ITS OWN crop in reality — perturb per face so
+            # XLA cannot CSE the motion/appearance across faces (the cost is
+            # honestly linear per face, like the reference's sequential loop)
+            face_frames = f if i == 0 else jnp.clip(f * 0.9 + 0.05, 0, 1)
             out, _ = C.swap_with_motion(
-                which_core or core, ctx["params"], f, face_sid)
+                which_core or core, ctx["params"], face_frames, face_sid)
             chk = chk + jnp.mean(out["out"].astype(jnp.float32))
         return chk
 

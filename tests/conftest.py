@@ -46,6 +46,8 @@ SLOW_MODULES = {
     "test_stitching_cli",
     "test_golden_chain",
     "test_video_and_weights",
+    "test_canonical_parity",
+    "test_convert_rehearsal",
 }
 
 

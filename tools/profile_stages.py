@@ -68,6 +68,20 @@ def stages():
         lambda p, v, i: core.swap.apply(p["transfer"], v, i),
         (params, vol, sid),
     )
+    import dataclasses as _dc
+
+    from canonswap_tpu.models.swap import SwapModule
+    swap_i8 = SwapModule(_dc.replace(cfg.swap, int8_conv=True))
+    yield "swap_module_int8", (
+        lambda p, v, i: swap_i8.apply(p["transfer"], v, i),
+        (params, vol, sid),
+    )
+    from canonswap_tpu.models.spade_decoder import SPADEDecoder
+    spade_i8 = SPADEDecoder(_dc.replace(cfg.spade, int8_conv=True))
+    yield "spade_int8", (
+        lambda p, f: spade_i8.apply(p["spade_generator"], f),
+        (params, feat2d),
+    )
     yield "refine", (
         lambda p, v: core.refine.apply(p["refine"], v), (params, vol))
     yield "spade", (
