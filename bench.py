@@ -122,6 +122,7 @@ def main():
     fast_cfg = dataclasses.replace(
         CANONICAL,
         warping=dataclasses.replace(CANONICAL.warping, dense_motion_scale=2),
+        appearance=dataclasses.replace(CANONICAL.appearance, int8_conv=True),
         swap=dataclasses.replace(CANONICAL.swap, int8_conv=True),
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
     )

@@ -19,6 +19,7 @@ class AppearanceConfig:
     reshape_channel: int = 32
     reshape_depth: int = 16
     num_resblocks: int = 6
+    int8_conv: bool = False  # W8A8 packed volume chain (flag_int8)
 
 
 @dataclasses.dataclass(frozen=True)

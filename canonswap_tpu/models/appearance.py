@@ -40,5 +40,6 @@ class AppearanceFeatureExtractor(nn.Module):
 
         x = pack_hw2(x)
         for i in range(c.num_resblocks):
-            x = ResBlock3d(name=f"res3d_{i}", packed=True)(x, train)
+            x = ResBlock3d(name=f"res3d_{i}", packed=True,
+                           int8=c.int8_conv)(x, train)
         return unpack_hw2(x)

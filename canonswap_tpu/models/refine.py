@@ -13,6 +13,8 @@ from canonswap_tpu.ops.resize import volume_from_2d, volume_to_2d
 
 
 class RefineModule(nn.Module):
+    int8: bool = False  # W8A8 packed 3D convs (flag_int8 lever)
+
     @nn.compact
     def __call__(self, volume, train: bool = False):
         """(B, D, H, W, C) -> (B, D, H, W, C).
@@ -23,11 +25,13 @@ class RefineModule(nn.Module):
         d = volume.shape[1]
         x = pack_hw2(volume)
         for i in range(3):
-            x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}", packed=True)(x)
+            x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}", packed=True,
+                                 int8=self.int8)(x)
         x = volume_to_2d(unpack_hw2(x))
         for i in range(3):
             x = ResBlock2d(name=f"res2d_{i}")(x, train)
         x = pack_hw2(volume_from_2d(x, d))
         for i in range(3):
-            x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}", packed=True)(x)
+            x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}", packed=True,
+                                 int8=self.int8)(x)
         return unpack_hw2(x)

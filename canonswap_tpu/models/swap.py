@@ -94,7 +94,8 @@ class SwapModule(nn.Module):
 
         x = pack_hw2(volume_from_2d(x, d))
         for i in range(self.cfg.n_resblocks_3d):
-            x = ResBlock3d(name=f"res3d_{i}", packed=True)(x, train)
+            x = ResBlock3d(name=f"res3d_{i}", packed=True,
+                           int8=self.cfg.int8_conv)(x, train)
         x = unpack_hw2(x)
         if return_mask:
             return x, masks

@@ -137,6 +137,7 @@ class ResBlock3d(nn.Module):
 
     kernel: int = 3
     packed: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,10 +153,12 @@ class ResBlock3d(nn.Module):
 
         h = bn(x, "BatchNorm_0")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_0", packed_io=self.packed)(h)
+        h = Conv3D(c, k, name="Conv_0", packed_io=self.packed,
+                   int8=self.int8)(h)
         h = bn(h, "BatchNorm_1")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_1", packed_io=self.packed)(h)
+        h = Conv3D(c, k, name="Conv_1", packed_io=self.packed,
+                   int8=self.int8)(h)
         return x + h
 
 
@@ -166,6 +169,7 @@ class ResBlock3dLeakGN(nn.Module):
     features: int
     negative_slope: float = 0.01
     packed: bool = False  # pack_hw2 layout in/out (see ResBlock3d)
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -196,11 +200,11 @@ class ResBlock3dLeakGN(nn.Module):
             short = nn.Conv(self.features, (1, 1, 1), padding="VALID",
                             name="shortcut")(x)
         h = Conv3D(self.features, (3, 3, 3), name="conv1",
-                   packed_io=self.packed)(x)
+                   packed_io=self.packed, int8=self.int8)(x)
         h = gn(h, "gn1")
         h = nn.leaky_relu(h, self.negative_slope)
         h = Conv3D(self.features, (3, 3, 3), name="conv2",
-                   packed_io=self.packed)(h)
+                   packed_io=self.packed, int8=self.int8)(h)
         h = gn(h, "gn2")
         h = h + short
         return nn.leaky_relu(h, self.negative_slope)

@@ -171,17 +171,44 @@ def pack_kernel_hw2(kernel: jax.Array) -> jax.Array:
 
 
 def conv3d_packed(xp: jax.Array, kernel: jax.Array,
-                  bias: jax.Array | None = None) -> jax.Array:
+                  bias: jax.Array | None = None,
+                  int8: bool = False) -> jax.Array:
     """Exact 3D conv on a :func:`pack_hw2`-packed volume.
 
     xp: (B, D, H/2, W/2, 4C); kernel: (kd, 3, 3, Cin, Cout) ORIGINAL layout
     (packed on the fly — XLA constant-folds it for fixed params).
-    Returns the packed (B, D, H/2, W/2, 4*Cout) output."""
+    Returns the packed (B, D, H/2, W/2, 4*Cout) output.
+
+    ``int8``: W8A8 with per-sample activation scales and per-packed-output-
+    channel weight scales, s32 accumulation across the depth taps (the
+    flag_int8 speed/quality lever; MXU runs s8 at ~2-4x the bf16 rate)."""
     kp = pack_kernel_hw2(kernel)
     cout = kernel.shape[-1]
     b, d, hh, wh, _ = xp.shape
     kd = kernel.shape[0]
     pad = kd // 2
+    if int8:
+        x32 = xp.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(x32), axis=(1, 2, 3, 4)) / 127.0 + 1e-12  # (B,)
+        xq = jnp.clip(jnp.round(x32 / sx[:, None, None, None, None]),
+                      -127, 127).astype(jnp.int8)
+        k32 = kp.astype(jnp.float32)
+        sw = jnp.max(jnp.abs(k32), axis=(0, 1, 2, 3)) / 127.0 + 1e-12
+        kq = jnp.clip(jnp.round(k32 / sw), -127, 127).astype(jnp.int8)
+        xpad = jnp.pad(xq, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+        acc = None
+        for t in range(kd):
+            y = lax.conv_general_dilated(
+                xpad[:, t : t + d].reshape(b * d, hh, wh, xp.shape[-1]),
+                kq[t], (1, 1), "SAME", dimension_numbers=_DN_2D,
+                preferred_element_type=jnp.int32,
+            )
+            acc = y if acc is None else acc + y
+        out = acc.reshape(b, d, hh, wh, 4 * cout).astype(jnp.float32)
+        out = out * (sx[:, None, None, None, None] * sw)
+        if bias is not None:
+            out = out + jnp.tile(bias, 4).astype(jnp.float32)
+        return out.astype(xp.dtype)
     xpad = jnp.pad(xp, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
     out = None
     for t in range(kd):
@@ -207,6 +234,7 @@ class Conv3D(nn.Module):
     use_bias: bool = True
     impl: str = "auto"  # "auto" | "stacked" | "outstacked" | "decomposed" | "direct"
     packed_io: bool = False  # input AND output in pack_hw2 layout
+    int8: bool = False  # W8A8 packed conv (flag_int8 lever)
 
     @nn.compact
     def __call__(self, x):
@@ -222,7 +250,7 @@ class Conv3D(nn.Module):
                 self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None
             )
-            return conv3d_packed(x, kernel, bias)
+            return conv3d_packed(x, kernel, bias, int8=self.int8)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",

@@ -75,6 +75,7 @@ class FaceSwapSession:
 
             model_cfg = _dc.replace(
                 model_cfg,
+                appearance=_dc.replace(model_cfg.appearance, int8_conv=True),
                 swap=_dc.replace(model_cfg.swap, int8_conv=True),
                 spade=_dc.replace(model_cfg.spade, int8_conv=True),
             )

@@ -61,7 +61,9 @@ class CanonSwapCore:
 
     @functools.cached_property
     def refine(self) -> RefineModule:
-        return RefineModule()
+        # the refine chain runs on the same volume as the swap 3D chain, so
+        # it shares the swap int8 flag
+        return RefineModule(int8=self.cfg.swap.int8_conv)
 
     @functools.cached_property
     def stitching(self):

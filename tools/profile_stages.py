@@ -82,6 +82,22 @@ def stages():
         lambda p, f: spade_i8.apply(p["spade_generator"], f),
         (params, feat2d),
     )
+    from canonswap_tpu.models.appearance import AppearanceFeatureExtractor
+    app_i8 = AppearanceFeatureExtractor(
+        _dc.replace(cfg.appearance, int8_conv=True))
+    yield "appearance_int8", (
+        lambda p, f: app_i8.apply(p["appearance_feature_extractor"], f),
+        (params, frames),
+    )
+    from canonswap_tpu.models.refine import RefineModule
+    ref_i8 = RefineModule(int8=True)
+    yield "refine_int8", (
+        lambda p, v: ref_i8.apply(p["refine"], v), (params, vol))
+    swap3d_i8 = SwapModule(_dc.replace(cfg.swap, int8_conv=True))
+    yield "swap_module_int8b", (
+        lambda p, v, i: swap3d_i8.apply(p["transfer"], v, i),
+        (params, vol, sid),
+    )
     yield "refine", (
         lambda p, v: core.refine.apply(p["refine"], v), (params, vol))
     yield "spade", (
