@@ -29,7 +29,7 @@ class RefineModule(nn.Module):
                                  int8=self.int8)(x)
         x = volume_to_2d(unpack_hw2(x))
         for i in range(3):
-            x = ResBlock2d(name=f"res2d_{i}")(x, train)
+            x = ResBlock2d(name=f"res2d_{i}", int8=self.int8)(x, train)
         x = pack_hw2(volume_from_2d(x, d))
         for i in range(3):
             x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}", packed=True,

@@ -114,16 +114,28 @@ class ResBlock2d(nn.Module):
 
     negative_slope: float = 0.01
     kernel: int = 3
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from canonswap_tpu.ops.qconv import int8_worthwhile
+
         c = x.shape[-1]
+        conv = (_QConv if self.int8 and int8_worthwhile(x) and not train
+                else None)
+
+        def cv(h, name):
+            if conv is not None:
+                return conv(c, (self.kernel, self.kernel), name=name)(h)
+            return nn.Conv(c, (self.kernel, self.kernel), padding="SAME",
+                           name=name)(h)
+
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         h = nn.leaky_relu(h, self.negative_slope)
-        h = nn.Conv(c, (self.kernel, self.kernel), padding="SAME")(h)
+        h = cv(h, "Conv_0")
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
         h = nn.leaky_relu(h, self.negative_slope)
-        h = nn.Conv(c, (self.kernel, self.kernel), padding="SAME")(h)
+        h = cv(h, "Conv_1")
         return x + h
 
 

@@ -130,3 +130,102 @@ class OnnxArcFaceRunner:
             aligned_rgb = aligned_rgb[None]
         blob = (aligned_rgb.astype(np.float32) - 127.5) / 127.5
         return np.asarray(self._run(_nchw(blob))[0])
+
+
+class OnnxINSwapperRunner:
+    """inswapper_128.onnx through the executor (model_zoo/inswapper.py:21-114
+    — routed-but-unusable in the reference: no ONNX ships).  Decode math:
+    latent = L2(normed_embedding @ emap) where ``emap`` is the LAST graph
+    initializer; forward(blob_128, latent) -> swapped crop; ``get`` blends it
+    back with the diff-based feathered mask."""
+
+    input_size = 128
+
+    def __init__(self, path):
+        from canonswap_tpu.runtime.onnx_import import load_onnx
+
+        graph = load_onnx(path)
+        # insightface reads graph.initializer[-1] as the id-projection map
+        self.emap = np.asarray(list(graph.initializers.values())[-1],
+                               np.float32)
+        self._run, self._ex = make_jit_runner(graph)
+
+    def latent(self, normed_embedding: np.ndarray) -> np.ndarray:
+        lat = np.asarray(normed_embedding, np.float32).reshape(1, -1)
+        lat = lat @ self.emap
+        return lat / np.linalg.norm(lat)
+
+    def forward(self, crop_rgb: np.ndarray, latent: np.ndarray) -> np.ndarray:
+        """crop_rgb uint8 (128,128,3) + latent (1,512) -> swapped RGB
+        float [0,1] (1,128,128,3)."""
+        blob = crop_rgb.astype(np.float32)[None] / 255.0
+        pred = np.asarray(self._run(_nchw(blob), jnp.asarray(latent))[0])
+        return np.clip(pred.transpose(0, 2, 3, 1), 0, 1)
+
+    def get(self, img_rgb, target_kps, source_normed_embedding):
+        """Swap ``source``'s identity onto the face at ``target_kps`` in
+        ``img_rgb``; returns the blended full image (inswapper.py:46-114
+        semantics with the diff-threshold feathered paste-back)."""
+        import cv2
+
+        from canonswap_tpu.utils.face_align import estimate_norm_arcface
+
+        M = estimate_norm_arcface(np.asarray(target_kps, np.float32),
+                                  self.input_size)
+        aimg = cv2.warpAffine(img_rgb, M,
+                              (self.input_size, self.input_size))
+        fake = (self.forward(aimg, self.latent(source_normed_embedding))[0]
+                * 255.0).astype(np.uint8)
+        IM = cv2.invertAffineTransform(M)
+        h, w = img_rgb.shape[:2]
+        fake_full = cv2.warpAffine(fake, IM, (w, h), borderValue=0.0)
+        white = np.full((self.input_size, self.input_size), 255.0, np.float32)
+        mask = cv2.warpAffine(white, IM, (w, h), borderValue=0.0)
+        mask[mask > 20] = 255
+        diff = np.abs(fake.astype(np.float32)
+                      - aimg.astype(np.float32)).mean(axis=2)
+        diff[:2, :] = 0
+        diff[-2:, :] = 0
+        diff[:, :2] = 0
+        diff[:, -2:] = 0
+        diff_full = cv2.warpAffine(diff, IM, (w, h), borderValue=0.0)
+        diff_full = np.where(diff_full < 10, 0.0, 255.0).astype(np.float32)
+        idx = np.where(mask == 255)
+        if len(idx[0]) == 0:
+            return img_rgb
+        msize = int(np.sqrt((idx[0].max() - idx[0].min())
+                            * (idx[1].max() - idx[1].min())))
+        k = max(msize // 10, 10)
+        mask = cv2.erode(mask, np.ones((k, k), np.uint8))
+        kb = max(msize // 20, 5)
+        mask = cv2.GaussianBlur(mask, (2 * kb + 1, 2 * kb + 1), 0)
+        diff_full = cv2.blur(diff_full, (11, 11), 0)
+        m = (mask / 255.0) * (diff_full / 255.0)
+        m = m[..., None]
+        out = m * fake_full.astype(np.float32) \
+            + (1 - m) * img_rgb.astype(np.float32)
+        return out.astype(np.uint8)
+
+
+class OnnxAttributeRunner:
+    """genderage.onnx through the executor (model_zoo/attribute.py:33-92):
+    1.5x bbox crop to the model size, (x-127.5)/128 blob, (gender, age)."""
+
+    def __init__(self, path, input_size=96):
+        self.input_size = input_size
+        self._run, self._ex = make_jit_runner(path)
+
+    def get(self, img_rgb: np.ndarray, bbox) -> tuple[int, int]:
+        import cv2
+
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        cx, cy = (bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2
+        s = self.input_size / (max(w, h) * 1.5)
+        t = self.input_size / 2
+        M = np.array([[s, 0, t - s * cx], [0, s, t - s * cy]], np.float32)
+        aimg = cv2.warpAffine(img_rgb, M, (self.input_size, self.input_size))
+        blob = (aimg.astype(np.float32) - 127.5) / 128.0
+        pred = np.asarray(self._run(_nchw(blob[None]))[0]).reshape(-1)
+        gender = int(np.argmax(pred[:2]))
+        age = int(np.round(pred[2] * 100))
+        return gender, age

@@ -109,3 +109,69 @@ def test_onnx_arcface_runner(tmp_path):
     crop = rng.integers(0, 255, (112, 112, 3), np.uint8)
     emb = r.get_feat(crop)
     assert emb.shape == (1, 512)
+
+
+def test_onnx_inswapper_runner(tmp_path):
+    """INSwapper decode math (latent = L2(emb @ emap), forward, feathered
+    paste-back) on an executable two-input fixture graph."""
+    from canonswap_tpu.runtime.onnx_sidecars import OnnxINSwapperRunner
+
+    rng = np.random.default_rng(5)
+    # graph: conv(img) + broadcast(latent via Gemm -> reshape) -> sigmoid
+    nodes = [
+        O.build_node("Conv", ["img", "Wc"], ["c"],
+                     attrs={"kernel_shape": [1, 1]}),
+        O.build_node("Gemm", ["latent", "Wl", "Bl"], ["l"],
+                     attrs={"transB": 1}),
+        O.build_node("Reshape", ["l", "shp"], ["l4"]),
+        O.build_node("Add", ["c", "l4"], ["a"]),
+        O.build_node("Sigmoid", ["a"], ["out"]),
+    ]
+    inits = {
+        "Wc": rng.standard_normal((3, 3, 1, 1), np.float32) * 0.3,
+        "Wl": rng.standard_normal((3, 512), np.float32) * 0.05,
+        "Bl": np.zeros((3,), np.float32),
+        "shp": np.asarray([1, 3, 1, 1], np.int64),
+        # emap MUST be last: insightface reads graph.initializer[-1]
+        "emap": rng.standard_normal((512, 512), np.float32) * 0.05,
+    }
+    p = tmp_path / "insw.onnx"
+    p.write_bytes(O.build_onnx(nodes, inits, ["img", "latent"], ["out"]))
+    r = OnnxINSwapperRunner(str(p))
+    assert r.emap.shape == (512, 512)
+
+    emb = rng.standard_normal((512,), np.float32)
+    emb /= np.linalg.norm(emb)
+    lat = r.latent(emb)
+    np.testing.assert_allclose(np.linalg.norm(lat), 1.0, rtol=1e-5)
+
+    crop = rng.integers(0, 255, (128, 128, 3), np.uint8)
+    out = r.forward(crop, lat)
+    assert out.shape == (1, 128, 128, 3)
+    assert out.min() >= 0 and out.max() <= 1
+
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    kps = np.array([[120, 90], [160, 90], [140, 115], [125, 140],
+                    [155, 140]], np.float32)
+    blended = r.get(img, kps, emb)
+    assert blended.shape == img.shape and blended.dtype == np.uint8
+
+
+def test_onnx_attribute_runner(tmp_path):
+    from canonswap_tpu.runtime.onnx_sidecars import OnnxAttributeRunner
+
+    rng = np.random.default_rng(6)
+    nodes = [
+        O.build_node("GlobalAveragePool", ["img"], ["g"]),
+        O.build_node("Flatten", ["g"], ["f"], attrs={"axis": 1}),
+        O.build_node("Gemm", ["f", "W", "B"], ["out"], attrs={"transB": 1}),
+    ]
+    inits = {"W": rng.standard_normal((3, 3), np.float32),
+             "B": np.asarray([0.1, 0.9, 0.3], np.float32)}
+    p = tmp_path / "genderage.onnx"
+    p.write_bytes(O.build_onnx(nodes, inits, ["img"], ["out"]))
+    r = OnnxAttributeRunner(str(p))
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    gender, age = r.get(img, [60, 40, 200, 190])
+    assert gender in (0, 1)
+    assert isinstance(age, int)
