@@ -31,6 +31,7 @@ Env knobs:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -206,6 +207,25 @@ def main():
             float(np.mean([ssim(a[i], b[i], data_range=1.0)
                            for i in range(a.shape[0])])), 4)
         quality["fast_maxabs_vs_exact"] = round(float(np.max(np.abs(a - b))), 4)
+        # the final sigmoid saturates under random weights, which can mask
+        # differences — also report the PRE-decode refined-volume error
+        # (linear space, saturation-proof)
+        @functools.partial(jax.jit, static_argnums=0)
+        def _vol(which, p, f, i):
+            m = C.extract_motion(which, p, f)
+            f_s = C.appearance_features(which, p, f)
+            x_can = (m["scale"][..., None] * m["kp"]).astype(f.dtype)
+            x_t = m["x_t"].astype(f.dtype)
+            f_can, occ = C.warp_to_canonical(which, p, f_s, x_t, x_can)
+            f_sw = C.inject_identity(which, p, f_can, i.astype(f.dtype))
+            return C.refine_volume(which, p, f_sw)
+
+        va = np.asarray(_vol(core, ctx["params"], probe, ctx["sid"]),
+                        np.float32)
+        vb = np.asarray(_vol(core_fast, ctx["params"], probe, ctx["sid"]),
+                        np.float32)
+        quality["fast_vol_relerr"] = round(
+            float(np.linalg.norm(va - vb) / (np.linalg.norm(va) + 1e-9)), 4)
         results["e2e_fast"] = slope_fps(
             lambda f, c: generator_chk(f, c, which_core=core_fast)
             + sidecars_chk(f, c),
