@@ -37,6 +37,7 @@ class DenseMotionConfig:
     num_blocks: int = 5
     reshape_depth: int = 16
     compress: int = 4
+    int8_conv: bool = False  # W8A8 hourglass convs (flag_int8 lever)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -184,6 +184,7 @@ class DenseMotionNetwork(nn.Module):
             in_features=(k + 1) * (c.compress + 1),
             num_blocks=c.num_blocks,
             max_features=c.max_features,
+            int8=c.int8_conv and not train,
             name="hourglass",
         )(hg_in, train)
 

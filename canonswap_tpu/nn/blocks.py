@@ -84,11 +84,12 @@ class DownBlock3d(nn.Module):
 
     features: int
     conv_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv3D(self.features, (3, 3, 3), name="Conv_0",
-                   impl=self.conv_impl)(x)
+                   impl=self.conv_impl, int8=self.int8 and not train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         return avg_pool(x, (1, 2, 2))
@@ -99,12 +100,13 @@ class UpBlock3d(nn.Module):
 
     features: int
     conv_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nearest_upsample(x, (1, 2, 2))
         x = Conv3D(self.features, (3, 3, 3), name="Conv_0",
-                   impl=self.conv_impl)(x)
+                   impl=self.conv_impl, int8=self.int8 and not train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(x)
 
@@ -229,6 +231,7 @@ class HourglassEncoder(nn.Module):
     num_blocks: int
     max_features: int
     conv_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -236,7 +239,8 @@ class HourglassEncoder(nn.Module):
         for i in range(self.num_blocks):
             feats = min(self.max_features, self.block_expansion * (2 ** (i + 1)))
             outs.append(DownBlock3d(feats, name=f"down{i}",
-                                    conv_impl=self.conv_impl)(outs[-1], train))
+                                    conv_impl=self.conv_impl,
+                                    int8=self.int8)(outs[-1], train))
         return outs
 
 
@@ -248,6 +252,7 @@ class HourglassDecoder(nn.Module):
     num_blocks: int
     max_features: int
     conv_impl: str = "auto"
+    int8: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -256,10 +261,12 @@ class HourglassDecoder(nn.Module):
         for j, i in enumerate(reversed(range(self.num_blocks))):
             out_filters = min(self.max_features, self.block_expansion * (2**i))
             out = UpBlock3d(out_filters, name=f"up{j}",
-                            conv_impl=self.conv_impl)(out, train)
+                            conv_impl=self.conv_impl,
+                            int8=self.int8)(out, train)
             out = jnp.concatenate([out, feats.pop()], axis=-1)
         c = self.block_expansion + self.in_features
-        out = Conv3D(c, (3, 3, 3), name="Conv_0", impl=self.conv_impl)(out)
+        out = Conv3D(c, (3, 3, 3), name="Conv_0", impl=self.conv_impl,
+                     int8=self.int8 and not train)(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(out)
         return nn.relu(out)
 
@@ -275,6 +282,7 @@ class Hourglass(nn.Module):
     # on v5e (tools/profile_r2.jsonl hourglass_direct): XLA's native 3D conv
     # wins at these mixed 64..1024-channel shapes
     conv_impl: str = "direct"
+    int8: bool = False
 
     @property
     def out_filters(self) -> int:
@@ -284,11 +292,12 @@ class Hourglass(nn.Module):
     def __call__(self, x, train: bool = False):
         feats = HourglassEncoder(
             self.block_expansion, self.num_blocks, self.max_features,
-            name="encoder", conv_impl=self.conv_impl,
+            name="encoder", conv_impl=self.conv_impl, int8=self.int8,
         )(x, train)
         return HourglassDecoder(
             self.block_expansion, self.in_features, self.num_blocks,
             self.max_features, name="decoder", conv_impl=self.conv_impl,
+            int8=self.int8,
         )(feats, train)
 
 

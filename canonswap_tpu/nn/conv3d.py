@@ -58,11 +58,13 @@ def conv3d_decomposed(x: jax.Array, kernel: jax.Array,
 
 
 def conv3d_stacked(x: jax.Array, kernel: jax.Array,
-                   bias: jax.Array | None = None) -> jax.Array:
+                   bias: jax.Array | None = None,
+                   int8: bool = False) -> jax.Array:
     """Depth taps packed into the channel axis: ONE 2D conv with kd*Cin
     input channels instead of kd separate convs.  Identical numerics;
     fills the MXU much better for small channel counts (the 32-channel
-    volume resblocks)."""
+    volume resblocks).  ``int8``: W8A8 with per-sample activation scales
+    (flag_int8 lever)."""
     b, d, h, w, cin = x.shape
     kd = kernel.shape[0]
     pad = kd // 2
@@ -74,6 +76,22 @@ def conv3d_stacked(x: jax.Array, kernel: jax.Array,
     k2 = kernel.transpose(1, 2, 0, 3, 4).reshape(
         kernel.shape[1], kernel.shape[2], kd * cin, cout
     )
+    if int8:
+        x32 = xs.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(x32), axis=(1, 2, 3, 4)) / 127.0 + 1e-12  # (B,)
+        xq = jnp.clip(jnp.round(x32 / sx[:, None, None, None, None]),
+                      -127, 127).astype(jnp.int8)
+        k32 = k2.astype(jnp.float32)
+        sw = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0 + 1e-12
+        kq = jnp.clip(jnp.round(k32 / sw), -127, 127).astype(jnp.int8)
+        acc = lax.conv_general_dilated(
+            xq.reshape(b * d, h, w, kd * cin), kq, (1, 1), "SAME",
+            dimension_numbers=_DN_2D, preferred_element_type=jnp.int32,
+        ).reshape(b, d, h, w, cout)
+        y = acc.astype(jnp.float32) * (sx[:, None, None, None, None] * sw)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
     y = lax.conv_general_dilated(
         xs.reshape(b * d, h, w, kd * cin), k2, (1, 1), "SAME",
         dimension_numbers=_DN_2D,
@@ -263,6 +281,11 @@ class Conv3D(nn.Module):
             else None
         )
         impl = _IMPL_OVERRIDE or self.impl
+        if self.int8 and cin * self.kernel_size[0] >= 128 \
+                and self.features >= 64:
+            # quantized path: one stacked 2D conv (int8 3D convs are not
+            # reliably MXU-lowered; the stacked form is)
+            return conv3d_stacked(x, kernel, bias, int8=True)
         if impl == "auto":
             kd = self.kernel_size[0]
             impl = (

@@ -79,3 +79,27 @@ def test_swap_module_int8_same_params():
     b = m_int8.apply(v, vol, lat)
     assert a.shape == b.shape
     assert _rel_err(b, a) < 0.05
+
+
+def test_dense_motion_int8_same_params():
+    """int8 hourglass (canonical channel widths, small spatial) accepts the
+    exact param tree and stays close to the exact forward."""
+    import jax
+
+    from canonswap_tpu.configs.model_config import DenseMotionConfig
+    from canonswap_tpu.models.dense_motion import DenseMotionNetwork
+
+    cfg = DenseMotionConfig()  # canonical widths -> int8 gate engages
+    m_exact = DenseMotionNetwork(cfg, num_kp=21)
+    m_int8 = DenseMotionNetwork(
+        dataclasses.replace(cfg, int8_conv=True), num_kp=21)
+    # in-plane 32 keeps all 5 hourglass levels non-degenerate (32 / 2^5 = 1)
+    vol = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 32, 32))
+    kp1 = jax.random.normal(jax.random.PRNGKey(1), (1, 21, 3)) * 0.2
+    kp2 = kp1 + 0.1
+    v = m_exact.init(jax.random.PRNGKey(2), vol, kp1, kp2)
+    a = m_exact.apply(v, vol, kp1, kp2)
+    b = m_int8.apply(v, vol, kp1, kp2)
+    assert a["deformation"].shape == b["deformation"].shape
+    assert _rel_err(b["occlusion_map"], a["occlusion_map"]) < 0.1
+    assert _rel_err(b["deformation"], a["deformation"]) < 0.05

@@ -123,6 +123,18 @@ def stages():
     yield "dense_motion_half", (
         lambda p, v, a, b2: dm2.apply(p, v, a, b2), (dm_p, vol, kp1, kp2))
 
+    import dataclasses as _dc2
+    dm3 = DenseMotionNetwork(
+        cfg=_dc2.replace(cfg.warping.dense_motion, int8_conv=True),
+        num_kp=k, field_scale=2)
+    yield "dense_motion_half_int8", (
+        lambda p, v, a, b2: dm3.apply(p, v, a, b2), (dm_p, vol, kp1, kp2))
+    dm4 = DenseMotionNetwork(
+        cfg=_dc2.replace(cfg.warping.dense_motion, int8_conv=True),
+        num_kp=k)
+    yield "dense_motion_int8", (
+        lambda p, v, a, b2: dm4.apply(p, v, a, b2), (dm_p, vol, kp1, kp2))
+
     hg_in_ch = (k + 1) * (cfg.warping.dense_motion.compress + 1)  # 110
     hg = Hourglass(block_expansion=32, in_features=hg_in_ch, num_blocks=5,
                    max_features=1024)
