@@ -122,10 +122,8 @@ def main():
     # of fast-vs-exact outputs on identical inputs/weights.
     fast_cfg = dataclasses.replace(
         CANONICAL,
-        warping=dataclasses.replace(
-            CANONICAL.warping, dense_motion_scale=2,
-            dense_motion=dataclasses.replace(
-                CANONICAL.warping.dense_motion, int8_conv=True)),
+        warping=dataclasses.replace(CANONICAL.warping,
+                                    dense_motion_scale=2),
         appearance=dataclasses.replace(CANONICAL.appearance, int8_conv=True),
         swap=dataclasses.replace(CANONICAL.swap, int8_conv=True),
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),

@@ -78,10 +78,6 @@ class FaceSwapSession:
                 appearance=_dc.replace(model_cfg.appearance, int8_conv=True),
                 swap=_dc.replace(model_cfg.swap, int8_conv=True),
                 spade=_dc.replace(model_cfg.spade, int8_conv=True),
-                warping=_dc.replace(
-                    model_cfg.warping,
-                    dense_motion=_dc.replace(
-                        model_cfg.warping.dense_motion, int8_conv=True)),
             )
         self.model_cfg = model_cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
