@@ -129,6 +129,17 @@ def main():
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
     )
     core_fast = C.CanonSwapCore(fast_cfg)
+    # per-lever variants for quality attribution (int8-only / half-res-only)
+    int8_cfg = dataclasses.replace(
+        CANONICAL,
+        appearance=dataclasses.replace(CANONICAL.appearance, int8_conv=True),
+        swap=dataclasses.replace(CANONICAL.swap, int8_conv=True),
+        spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
+    )
+    halfres_cfg = dataclasses.replace(
+        CANONICAL,
+        warping=dataclasses.replace(CANONICAL.warping, dense_motion_scale=2),
+    )
     with jax.default_device(jax.devices("cpu")[0]):
         params_f32 = core.init_params(jax.random.PRNGKey(0))
         lmk = Landmark203Runner(rng=jax.random.PRNGKey(1))
@@ -186,47 +197,56 @@ def main():
             lambda f, c: generator_chk(f, c) + sidecars_chk(f, c),
             frames, ctx, batch, n_long)
     if "fast" in only:
-        # fast-mode quality gate: SSIM of fast vs exact outputs on the same
-        # weights + structured input (a real gradient image, not noise)
+        # fast-vs-exact quality gate on identical weights.  Random CANONICAL
+        # weights produce out-of-range keypoints (|x_t| > 1), which zero-pads
+        # the warp and collapses the volume to zeros in BOTH paths — so the
+        # probe drives the warp/swap/refine/decode chain with controlled
+        # IN-RANGE synthetic motion instead of extract_motion's raw output.
         print("# e2e_fast (half-res dense motion + int8 hot convs)",
               file=sys.stderr)
+        import numpy as np
+
         from canonswap_tpu.utils.metrics import ssim
 
         yy, xx = jnp.meshgrid(
             jnp.linspace(0, 1, s), jnp.linspace(0, 1, s), indexing="ij")
         img = jnp.stack([xx, yy, 0.5 * (xx + yy)], -1)[None]
         probe = jnp.broadcast_to(img, (batch, s, s, 3)).astype(dtype)
-        out_exact, _ = jax.jit(C.swap_with_motion, static_argnums=0)(
-            core, ctx["params"], probe, ctx["sid"])
-        out_fast, _ = jax.jit(C.swap_with_motion, static_argnums=0)(
-            core_fast, ctx["params"], probe, ctx["sid"])
-        import numpy as np
+        k = core.cfg.motion.num_kp
+        kp_rng = jax.random.PRNGKey(7)
+        x_t = (jax.random.normal(kp_rng, (batch, k, 3)) * 0.25).astype(dtype)
+        x_can = x_t + (jax.random.normal(
+            jax.random.PRNGKey(8), (batch, k, 3)) * 0.1).astype(dtype)
 
-        a = np.clip(np.asarray(out_exact["out"], np.float32), 0, 1)
-        b = np.clip(np.asarray(out_fast["out"], np.float32), 0, 1)
-        quality["fast_ssim_vs_exact"] = round(
-            float(np.mean([ssim(a[i], b[i], data_range=1.0)
-                           for i in range(a.shape[0])])), 4)
-        quality["fast_maxabs_vs_exact"] = round(float(np.max(np.abs(a - b))), 4)
-        # the final sigmoid saturates under random weights, which can mask
-        # differences — also report the PRE-decode refined-volume error
-        # (linear space, saturation-proof)
         @functools.partial(jax.jit, static_argnums=0)
-        def _vol(which, p, f, i):
-            m = C.extract_motion(which, p, f)
+        def _probe(which, p, f, i, xt, xc):
             f_s = C.appearance_features(which, p, f)
-            x_can = (m["scale"][..., None] * m["kp"]).astype(f.dtype)
-            x_t = m["x_t"].astype(f.dtype)
-            f_can, occ = C.warp_to_canonical(which, p, f_s, x_t, x_can)
+            f_can, occ = C.warp_to_canonical(which, p, f_s, xt, xc)
             f_sw = C.inject_identity(which, p, f_can, i.astype(f.dtype))
-            return C.refine_volume(which, p, f_sw)
+            vol = C.refine_volume(which, p, f_sw)
+            out = C.warp_decode(which, p, vol, xc, xt)
+            return vol, out
 
-        va = np.asarray(_vol(core, ctx["params"], probe, ctx["sid"]),
-                        np.float32)
-        vb = np.asarray(_vol(core_fast, ctx["params"], probe, ctx["sid"]),
-                        np.float32)
-        quality["fast_vol_relerr"] = round(
-            float(np.linalg.norm(va - vb) / (np.linalg.norm(va) + 1e-9)), 4)
+        va, oa = _probe(core, ctx["params"], probe, ctx["sid"], x_t, x_can)
+        va = np.asarray(va, np.float32)
+        a = np.clip(np.asarray(oa, np.float32), 0, 1)
+        # NOTE on interpretation: these run on RANDOM weights, the worst
+        # case for dense_motion_scale — an untrained hourglass emits
+        # high-frequency noise, while trained deformation fields are smooth
+        # by construction.  int8-only is weight-agnostic and tight.
+        for tag, which in (("fast", core_fast),
+                           ("int8only", C.CanonSwapCore(int8_cfg)),
+                           ("halfres", C.CanonSwapCore(halfres_cfg))):
+            vb, ob = _probe(which, ctx["params"], probe, ctx["sid"],
+                            x_t, x_can)
+            vb = np.asarray(vb, np.float32)
+            quality[f"{tag}_vol_relerr"] = round(
+                float(np.linalg.norm(va - vb)
+                      / (np.linalg.norm(va) + 1e-9)), 4)
+            b = np.clip(np.asarray(ob, np.float32), 0, 1)
+            quality[f"{tag}_ssim_vs_exact"] = round(
+                float(np.mean([ssim(a[i], b[i], data_range=1.0)
+                               for i in range(a.shape[0])])), 4)
         results["e2e_fast"] = slope_fps(
             lambda f, c: generator_chk(f, c, which_core=core_fast)
             + sidecars_chk(f, c),

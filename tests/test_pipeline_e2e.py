@@ -170,7 +170,7 @@ def test_swap_e2e_stitching_retargeting_halfres(media, tmp_path):
         InferenceConfig(
             batch_size=2, flag_stitching=True, flag_eye_retargeting=True,
             flag_lip_retargeting=True, flag_normalize_lip=True,
-            dense_motion_scale=2,
+            dense_motion_scale=2, flag_int8=True,
         ),
         CropConfig(),
         TINY,
