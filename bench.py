@@ -126,6 +126,9 @@ def main():
                                     dense_motion_scale=2),
         appearance=dataclasses.replace(CANONICAL.appearance, int8_conv=True),
         swap=dataclasses.replace(CANONICAL.swap, int8_conv=True),
+        # NOTE: spade norm_scale=2 stays OUT of the bundle — measured
+        # regression (84.5 vs 77.3 ms: the gamma/beta bilinear upsample
+        # costs more HBM traffic than the halved conv saves).
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
     )
     core_fast = C.CanonSwapCore(fast_cfg)

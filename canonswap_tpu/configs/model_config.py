@@ -70,6 +70,10 @@ class SpadeConfig:
     # W8A8 int8 convs where MXU-bound (<=128^2 spatial; ops/qconv.py) —
     # the flag_int8 speed/quality lever, off by default (exact bf16)
     int8_conv: bool = False
+    # >1 computes the up-blocks' gamma/beta modulation fields at 1/N of the
+    # output resolution and bilinearly upsamples (nn/blocks.py::SPADE;
+    # the modulations only carry segmap-resolution content). Exact at 1.
+    norm_scale: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

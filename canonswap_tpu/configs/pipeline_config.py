@@ -56,6 +56,7 @@ class ArgumentConfig:
     stitching_checkpoint: Optional[str] = None
     dense_motion_scale: int = 1  # >1: half-res dense-motion speed mode
     flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
+    spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
 
 
 @dataclasses.dataclass
@@ -95,6 +96,8 @@ class InferenceConfig:
     dense_motion_scale: int = 1
     # W8A8 int8 convs in the swap/SPADE 64^2-128^2 hot shapes (ops/qconv.py)
     flag_int8: bool = False
+    # >1: SPADE up-block gamma/beta at 1/N output res (nn/blocks.py::SPADE)
+    spade_norm_scale: int = 1
 
 
 @dataclasses.dataclass

@@ -30,10 +30,11 @@ class SPADEDecoder(nn.Module):
             x = SPADEResnetBlock(2 * ic, 2 * ic, sn=sn, int8=q,
                                  name=f"G_middle_{i}")(x, seg)
         x = nearest_upsample(x, (2, 2))
-        x = SPADEResnetBlock(2 * ic, ic, sn=sn, int8=q, name="up_0")(x, seg)
+        x = SPADEResnetBlock(2 * ic, ic, sn=sn, int8=q,
+                             norm_scale=c.norm_scale, name="up_0")(x, seg)
         x = nearest_upsample(x, (2, 2))
         x = SPADEResnetBlock(ic, c.out_channels, sn=sn, int8=q,
-                             name="up_1")(x, seg)
+                             norm_scale=c.norm_scale, name="up_1")(x, seg)
         x = nn.leaky_relu(x, 0.2)
         if c.upscale is None or c.upscale <= 1:
             x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(x)

@@ -306,9 +306,17 @@ class SPADE(nn.Module):
 
     The segmap here is the warped feature itself (64x64) and x is always an
     integer multiple of it, so the nearest resize is an exact `repeat`.
+
+    ``norm_scale > 1`` computes the gamma/beta modulation fields at
+    1/norm_scale of x's resolution and bilinearly upsamples them (the
+    SpadeConfig.norm_scale speed lever): the modulations carry information
+    from the segmap-resolution feature only, so everything above segmap
+    resolution in gamma/beta is local conv interpolation texture —
+    half-res keeps all segmap content.  Exact at 1.
     """
 
     int8: bool = False
+    norm_scale: int = 1
 
     @nn.compact
     def __call__(self, x, segmap, normalized=None):
@@ -319,7 +327,11 @@ class SPADE(nn.Module):
         if normalized is None:
             normalized = instance_norm(x)
         fh, fw = x.shape[1] // segmap.shape[1], x.shape[2] // segmap.shape[2]
-        if fh == fw and fh in (1, 2, 4):
+        ns = self.norm_scale if (
+            self.norm_scale > 1 and fh == fw
+            and fh % self.norm_scale == 0) else 1
+        fh_eff = fh // ns
+        if fh == fw and fh_eff in (1, 2, 4):
             # mlp_shared on the nearest-upsampled segmap folds to segmap
             # resolution (exact; 2.25-4x fewer MACs — ops.resize.
             # conv3x3_on_nearest_upsample). gamma/beta stay full-res: their
@@ -327,9 +339,9 @@ class SPADE(nn.Module):
             kern, kb = _Conv3x3Params(128, segmap.shape[-1],
                                       name="mlp_shared")()
             actv = nn.relu(
-                conv3x3_on_nearest_upsample(segmap, kern, kb, fh))
+                conv3x3_on_nearest_upsample(segmap, kern, kb, fh_eff))
         else:
-            seg = nearest_upsample(segmap, (fh, fw))
+            seg = nearest_upsample(segmap, (fh_eff, fw // ns))
             actv = nn.relu(
                 nn.Conv(128, (3, 3), padding="SAME", name="mlp_shared")(seg))
         # ONE conv for [gamma | beta]: conv is linear in the kernel, so
@@ -348,6 +360,10 @@ class SPADE(nn.Module):
                 actv, kgb, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bgb
+        if ns > 1:
+            n_, hh, ww, cc = gb.shape
+            gb = jax.image.resize(gb, (n_, hh * ns, ww * ns, cc),
+                                  method="linear")
         gamma, beta = gb[..., :c], gb[..., c:]
         return normalized * (1 + gamma) + beta
 
@@ -391,6 +407,7 @@ class SPADEResnetBlock(nn.Module):
     fout: int
     sn: bool = False
     int8: bool = False
+    norm_scale: int = 1
 
     def _conv(self, features, kernel, name, use_bias=True):
         if self.sn:
@@ -406,15 +423,18 @@ class SPADEResnetBlock(nn.Module):
     def __call__(self, x, seg):
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
+        ns = self.norm_scale
         if learned_shortcut:
             xn = instance_norm(x)  # shared by norm_s and norm_0 (exact)
-            x_s = SPADE(int8=self.int8, name="norm_s")(x, seg, normalized=xn)
+            x_s = SPADE(int8=self.int8, norm_scale=ns,
+                        name="norm_s")(x, seg, normalized=xn)
             x_s = self._conv(self.fout, (1, 1), "conv_s", use_bias=False)(x_s)
         else:
             xn = None
             x_s = x
-        dx = SPADE(int8=self.int8, name="norm_0")(x, seg, normalized=xn)
+        dx = SPADE(int8=self.int8, norm_scale=ns,
+                   name="norm_0")(x, seg, normalized=xn)
         dx = self._conv(fmiddle, (3, 3), "conv_0")(nn.leaky_relu(dx, 0.2))
-        dx = SPADE(int8=self.int8, name="norm_1")(dx, seg)
+        dx = SPADE(int8=self.int8, norm_scale=ns, name="norm_1")(dx, seg)
         dx = self._conv(self.fout, (3, 3), "conv_1")(nn.leaky_relu(dx, 0.2))
         return x_s + dx

@@ -79,6 +79,14 @@ class FaceSwapSession:
                 swap=_dc.replace(model_cfg.swap, int8_conv=True),
                 spade=_dc.replace(model_cfg.spade, int8_conv=True),
             )
+        sns = int(getattr(self.inference_cfg, "spade_norm_scale", 1))
+        if sns > 1:
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                spade=_dc.replace(model_cfg.spade, norm_scale=sns),
+            )
         self.model_cfg = model_cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         keys = jax.random.split(rng, 8)

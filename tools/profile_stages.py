@@ -82,6 +82,12 @@ def stages():
         lambda p, f: spade_i8.apply(p["spade_generator"], f),
         (params, feat2d),
     )
+    spade_ns = SPADEDecoder(_dc.replace(cfg.spade, int8_conv=True,
+                                        norm_scale=2))
+    yield "spade_int8_ns2", (
+        lambda p, f: spade_ns.apply(p["spade_generator"], f),
+        (params, feat2d),
+    )
     from canonswap_tpu.models.appearance import AppearanceFeatureExtractor
     app_i8 = AppearanceFeatureExtractor(
         _dc.replace(cfg.appearance, int8_conv=True))
