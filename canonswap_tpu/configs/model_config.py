@@ -52,6 +52,11 @@ class WarpingConfig:
     # bilinearly upsamples it (exact reference semantics at 1; ~4x cheaper
     # dense-motion stage at 2 — see models/dense_motion.py::field_scale)
     dense_motion_scale: int = 1
+    # trilinear warp backend: "packed" (XLA corner-packed gather, any
+    # backend), "pallas" (one-hot MXU matmul kernel, TPU only — measured
+    # 31.7 vs 38.7 ms/site at CANONICAL B=16), "pallas_quant" (int8 MXU,
+    # 25.7 ms/site, W8A8-quantized sampling — the fast-bundle lever)
+    warp_impl: str = "packed"
     dense_motion: DenseMotionConfig = dataclasses.field(
         default_factory=DenseMotionConfig
     )

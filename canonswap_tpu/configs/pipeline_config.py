@@ -57,6 +57,7 @@ class ArgumentConfig:
     dense_motion_scale: int = 1  # >1: half-res dense-motion speed mode
     flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
     spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
+    warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
 
 
 @dataclasses.dataclass
@@ -98,6 +99,9 @@ class InferenceConfig:
     flag_int8: bool = False
     # >1: SPADE up-block gamma/beta at 1/N output res (nn/blocks.py::SPADE)
     spade_norm_scale: int = 1
+    # trilinear warp backend: auto = Pallas one-hot kernel on TPU
+    # (int8 variant under flag_int8), XLA packed gather elsewhere
+    warp_impl: str = "auto"
 
 
 @dataclasses.dataclass

@@ -42,8 +42,21 @@ class WarpingNetwork(nn.Module):
         dense = self.dense_motion_network(
             feature_3d, kp_driving=kp_driving, kp_source=kp_source, train=train
         )
-        # corner-packed exact trilinear warp (3.5x the flat gather on v5e)
-        warped = grid_sample_3d_packed(feature_3d, dense["deformation"])
+        # trilinear warp backend (WarpingConfig.warp_impl): the XLA
+        # corner-packed gather everywhere, or the Pallas one-hot MXU
+        # kernel on TPU (ops/pallas/warp.py; int8 variant = fast bundle)
+        impl = self.cfg.warp_impl
+        if impl in ("pallas", "pallas_quant"):
+            from canonswap_tpu.ops.pallas.warp import grid_sample_3d_onehot
+
+            warped = grid_sample_3d_onehot(
+                feature_3d, dense["deformation"], pblk=256,
+                quant=impl == "pallas_quant",
+            )
+        elif impl == "packed":
+            warped = grid_sample_3d_packed(feature_3d, dense["deformation"])
+        else:
+            raise ValueError(f"unknown warp_impl: {impl!r}")
         return warped, dense.get("occlusion_map"), dense
 
     def warp_out(self, volume, occlusion_map=None, train: bool = False):

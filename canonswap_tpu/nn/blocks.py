@@ -351,10 +351,13 @@ class SPADE(nn.Module):
         kb2, bb = _Conv3x3Params(c, 128, name="mlp_beta")()
         kgb = jnp.concatenate([kg, kb2], axis=-1)
         bgb = jnp.concatenate([bg, bb])
-        from canonswap_tpu.ops.qconv import conv2d_w8a8, int8_worthwhile
+        from canonswap_tpu.ops.qconv import (
+            _pallas_qconv_ok, conv2d_int8_auto, int8_worthwhile,
+        )
 
-        if self.int8 and int8_worthwhile(actv):
-            gb = conv2d_w8a8(actv, kgb, bgb)
+        if self.int8 and (int8_worthwhile(actv)
+                          or _pallas_qconv_ok(actv, kgb)):
+            gb = conv2d_int8_auto(actv, kgb, bgb)
         else:
             gb = jax.lax.conv_general_dilated(
                 actv, kgb, (1, 1), "SAME",
@@ -378,19 +381,14 @@ class _QConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from canonswap_tpu.ops.qconv import conv2d_w8a8, int8_worthwhile
+        from canonswap_tpu.ops.qconv import conv2d_int8_auto
 
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (*self.kernel, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        if int8_worthwhile(x):
-            return conv2d_w8a8(x, kernel, bias)
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias if bias is not None else y
+        return conv2d_int8_auto(x, kernel, bias)
 
 
 class SPADEResnetBlock(nn.Module):

@@ -13,14 +13,18 @@ and ``src/modules/dense_motion.py:50``):
   1. The volume is z-packed once in XLA: slab[b, y*W+x, zi*C+c] — every
      depth slice side by side on the channel axis.
   2. Per (batch, point-block) program, the xy-bilinear one-hot matrix
-     (P x H*W; 4 weighted taps per row) is built on the VPU directly in
-     2D — per-column y/x indices come from an iota divmod, so no 3D
-     intermediate ever exists (Mosaic cannot shape-cast minor dims).
-     Out-of-bounds taps drop out naturally: a comparison against a
-     missing column index is never true = grid_sample zero padding.
+     (P x H*W; 4 weighted taps per row) is built on the VPU as a product
+     of two "tent" functions max(0, 1 - |grid_y - y|) * max(0, 1 - |grid_x
+     - x|) against PRECOMPUTED per-column y/x coordinate rows — no iota,
+     no divmod, no compare/select chains, and no 3D intermediate (Mosaic
+     cannot shape-cast minor dims).  The tent is exactly the bilinear
+     weight, and it vanishes for out-of-range taps = grid_sample zero
+     padding.
   3. ONE MXU matmul (P x HW) @ (HW x D*C) samples ALL depth slices at the
-     point's xy location with full 512-lane MXU fill.
-  4. The trilinear z-mix is an elementwise 2-tap mask over the (P, D*C)
+     point's xy location with full 512-lane MXU fill.  ``quant=True``
+     runs it int8 x int8 -> int32 (the MXU's ~4x rate on this chip) with
+     a per-sample slab scale — the flag_int8-style speed lever.
+  4. The trilinear z-mix is an elementwise tent mask over the (P, D*C)
      samples followed by a (D*C x C) 0/1 group-sum matmul — again no
      reshape, and the second matmul is noise-sized.
 
@@ -35,58 +39,52 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _unnormalize(coord, size):
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-def _kernel(gx_ref, gy_ref, gz_ref, slab_ref, out_ref, *, d, h, w, c):
+def _tent(rows, center):
+    # rows: (1, N) f32 integer coordinates; center: (P, 1) f32
+    return jnp.maximum(0.0, 1.0 - jnp.abs(rows - center))
+
+
+def _kernel(
+    gx_ref, gy_ref, gz_ref, xrow_ref, yrow_ref, zrow_ref, sscale_ref,
+    slab_ref, out_ref, *, d, h, w, c, quant,
+):
     """gx/gy/gz_ref: (1, 1, P, 1) f32 normalized coords (trailing singleton
     so each block is a native (P, 1) column vector — no transpose needed to
     broadcast per-point scalars across the HW lane axis).
-    slab_ref: (1, HW, D*C).  out_ref: (1, P, C)."""
+    xrow/yrow_ref: (1, HW) f32 per-column x/y integer coordinates.
+    zrow_ref: (1, D*C) f32 per-column z slice index.
+    sscale_ref: (1, 1, 1) f32 per-sample slab dequant scale (quant mode).
+    slab_ref: (1, HW, D*C) bf16 (or int8 in quant mode).  out_ref: (1, P, C).
+    """
     x = _unnormalize(gx_ref[0, 0], w)  # (P, 1) f32
     y = _unnormalize(gy_ref[0, 0], h)
     z = _unnormalize(gz_ref[0, 0], d)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    z0 = jnp.floor(z)
-    fx = x - x0
-    fy = y - y0
-    fz = z - z0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    z0i = z0.astype(jnp.int32)
-    p = x.shape[0]
+    onehot = _tent(yrow_ref[0][None, :], y) * _tent(xrow_ref[0][None, :], x)
 
-    # (P, HW) bilinear one-hot, built without any 3D intermediate
-    col = jax.lax.broadcasted_iota(jnp.int32, (p, h * w), 1)
-    yi = col // w
-    xi = col - yi * w
-    wy = jnp.where(yi == y0i, 1.0 - fy, 0.0) + jnp.where(
-        yi == y0i + 1, fy, 0.0
-    )
-    wx = jnp.where(xi == x0i, 1.0 - fx, 0.0) + jnp.where(
-        xi == x0i + 1, fx, 0.0
-    )
-    onehot = wy * wx  # (P, HW)
+    if quant:
+        q = jnp.round(onehot * 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q, slab_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32) * (sscale_ref[0, 0, 0] * (1.0 / 127.0))
+    else:
+        s = jax.lax.dot_general(
+            onehot.astype(slab_ref.dtype), slab_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, D*C) xy-bilinear samples at every depth
 
-    s = jax.lax.dot_general(
-        onehot.astype(slab_ref.dtype),
-        slab_ref[0],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (P, D*C) xy-bilinear samples at every depth
-
-    # z-mix: mask the two z taps elementwise, then group-sum depth slices
-    # with a constant (D*C, C) selector matmul (no reshape — Mosaic rule)
-    colz = jax.lax.broadcasted_iota(jnp.int32, (p, d * c), 1)
-    zi = colz // c
-    zw = jnp.where(zi == z0i, 1.0 - fz, 0.0) + jnp.where(
-        zi == z0i + 1, fz, 0.0
-    )  # (P, D*C)
-    sz = s * zw
+    # z-mix: tent-mask the two z taps elementwise, then group-sum depth
+    # slices with a constant (D*C, C) selector matmul (no reshape)
+    sz = s * _tent(zrow_ref[0][None, :], z)
     rowj = jax.lax.broadcasted_iota(jnp.int32, (d * c, c), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (d * c, c), 1)
     gsel = (rowj - (rowj // c) * c == colc).astype(jnp.float32)
@@ -98,16 +96,25 @@ def _kernel(gx_ref, gy_ref, gz_ref, slab_ref, out_ref, *, d, h, w, c):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "c", "pblk", "interpret")
+    jax.jit,
+    static_argnames=("h", "w", "c", "pblk", "quant", "out_dtype",
+                     "interpret"),
 )
-def _run(gx, gy, gz, slab, h, w, c, pblk, interpret):
+def _run(gx, gy, gz, slab, sscale, h, w, c, pblk, quant, out_dtype,
+         interpret):
     b, ptot = gx.shape
     hw = slab.shape[1]
     dc = slab.shape[2]
     d = dc // c
     nb = ptot // pblk
-    kern = functools.partial(_kernel, d=d, h=h, w=w, c=c)
+    kern = functools.partial(_kernel, d=d, h=h, w=w, c=c, quant=quant)
     g4 = lambda a: a.reshape(b, nb, pblk, 1)  # noqa: E731
+    yx = jnp.arange(hw, dtype=jnp.float32)
+    yrow = (jnp.floor(yx * (1.0 / w)))[None, :]
+    xrow = (yx - yrow[0] * w)[None, :]
+    zrow = jnp.floor(
+        jnp.arange(dc, dtype=jnp.float32) * (1.0 / c)
+    )[None, :]
     return pl.pallas_call(
         kern,
         grid=(b, nb),
@@ -115,12 +122,151 @@ def _run(gx, gy, gz, slab, h, w, c, pblk, interpret):
             pl.BlockSpec((1, 1, pblk, 1), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, pblk, 1), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, pblk, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, hw), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, hw), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, dc), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, hw, dc), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, pblk, c), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, ptot, c), slab.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, ptot, c), out_dtype),
         interpret=interpret,
-    )(g4(gx), g4(gy), g4(gz), slab)
+    )(g4(gx), g4(gy), g4(gz), xrow, yrow, zrow, sscale, slab)
+
+
+def _kernel_win(
+    gx_ref, gy_ref, gz_ref, xrow_ref, yrow0_ref, zrow0_ref, slab_hbm,
+    out_ref, buf, sem, *, d, h, w, c, win_r, win_z, zsnap, rpb,
+):
+    """Windowed variant: the point block is ``rpb`` consecutive output rows
+    at ONE output z-slice, and only a (win_r rows x win_z z-slices) window
+    of the slab is DMA'd and matmul'd — valid when every in-volume sample
+    lands inside the window (the wrapper's bounds check guarantees it).
+
+    yrow0/zrow0 hold the window's LOCAL integer coordinates starting at 0;
+    the window origin (a per-program scalar) is added in-kernel.  xrow is
+    origin-free: windows start on row boundaries, so the x pattern repeats.
+    The z-origin snaps to ``zsnap`` slices so the slab's dynamic channel
+    slice stays 128-lane-aligned (Mosaic memref_slice rule).
+    """
+    i = pl.program_id(0)
+    zo = pl.program_id(1)
+    jr = pl.program_id(2)
+    r0 = jr * rpb
+    oy = jnp.clip(r0 - (win_r - rpb) // 2, 0, h - win_r)
+    # offset written as oq * (zsnap*c) — a literal multiple of the 128-lane
+    # tile, which Mosaic's divisibility analysis can prove (clip(...)*c
+    # cannot be)
+    oq = jnp.clip(zo // zsnap - 1, 0, (d - win_z) // zsnap)
+    oz = oq * zsnap
+    cp = pltpu.make_async_copy(
+        slab_hbm.at[
+            i, pl.ds(oy * w, win_r * w), pl.ds(oq * (zsnap * c), win_z * c)
+        ],
+        buf, sem,
+    )
+    cp.start()
+    x = _unnormalize(gx_ref[0, 0], w)  # (P, 1) f32
+    y = _unnormalize(gy_ref[0, 0], h)
+    z = _unnormalize(gz_ref[0, 0], d)
+    onehot = _tent(yrow0_ref[0][None, :] + oy.astype(jnp.float32), y) * _tent(
+        xrow_ref[0][None, :], x
+    )  # (P, win_r*w)
+    cp.wait()
+    s = jax.lax.dot_general(
+        onehot.astype(buf.dtype), buf[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (P, win_z*C)
+    sz = s * _tent(zrow0_ref[0][None, :] + oz.astype(jnp.float32), z)
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (win_z * c, c), 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, (win_z * c, c), 1)
+    gsel = (rowj - (rowj // c) * c == colc).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        sz, gsel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "h", "w", "c", "win_r", "win_z", "zsnap", "rpb",
+                     "out_dtype", "interpret"),
+)
+def _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap, rpb,
+             out_dtype, interpret):
+    b = gx.shape[0]
+    nr = h // rpb
+    p = rpb * w
+    kern = functools.partial(
+        _kernel_win, d=d, h=h, w=w, c=c, win_r=win_r, win_z=win_z,
+        zsnap=zsnap, rpb=rpb,
+    )
+    g4 = lambda a: a.reshape(b, d * nr, p, 1)  # noqa: E731
+    yx = jnp.arange(win_r * w, dtype=jnp.float32)
+    yrow0 = jnp.floor(yx * (1.0 / w))[None, :]
+    xrow = (yx - yrow0[0] * w)[None, :]
+    zrow0 = jnp.floor(
+        jnp.arange(win_z * c, dtype=jnp.float32) * (1.0 / c)
+    )[None, :]
+    cblk = lambda i, zi, jr: (i, zi * nr + jr, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kern,
+        grid=(b, d, nr),
+        in_specs=[
+            pl.BlockSpec((1, 1, p, 1), cblk),
+            pl.BlockSpec((1, 1, p, 1), cblk),
+            pl.BlockSpec((1, 1, p, 1), cblk),
+            pl.BlockSpec((1, win_r * w), lambda i, zi, jr: (0, 0)),
+            pl.BlockSpec((1, win_r * w), lambda i, zi, jr: (0, 0)),
+            pl.BlockSpec((1, win_z * c), lambda i, zi, jr: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, p, c), lambda i, zi, jr: (i, zi * nr + jr, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d * h * w, c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_r * w, win_z * c), slab.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(g4(gx), g4(gy), g4(gz), xrow, yrow0, zrow0, slab)
+    return out
+
+
+def _axis_ok(s, origin, size, win):
+    """Per-sample: every NEEDED tap (nonzero weight AND inside the volume)
+    lies inside [origin, origin+win-1].  Out-of-volume taps contribute the
+    zero-padding zero either way, so excluding them is exact."""
+    t0 = jnp.floor(s)
+    f = s - t0
+    t1 = t0 + 1
+    in_win0 = (t0 >= origin) & (t0 <= origin + win - 1)
+    in_win1 = (t1 >= origin) & (t1 <= origin + win - 1)
+    need0 = (t0 >= 0) & (t0 <= size - 1)
+    need1 = (t1 >= 0) & (t1 <= size - 1) & (f > 0)
+    return (~need0 | in_win0) & (~need1 | in_win1)
+
+
+def _window_fits(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
+    """True iff the windowed kernel is exact for this deformation: every
+    needed tap of every sample lies inside its block's slab window."""
+    del sx  # x is never windowed — full width is always resident
+    rows = jnp.arange(h, dtype=jnp.float32)
+    oy_per_row = jnp.clip(
+        (jnp.floor(rows / rpb) * rpb) - (win_r - rpb) // 2, 0, h - win_r
+    )  # (H,)
+    oy = jnp.tile(jnp.repeat(oy_per_row, w), d)[None, :]  # (1, ptot)
+    zs = jnp.arange(d)
+    oz_per_z = (
+        jnp.clip(zs // zsnap - 1, 0, (d - win_z) // zsnap) * zsnap
+    ).astype(jnp.float32)
+    oz = jnp.repeat(oz_per_z, h * w)[None, :]
+    return jnp.all(
+        _axis_ok(sy, oy, h, win_r) & _axis_ok(sz, oz, d, win_z)
+    )
 
 
 def grid_sample_3d_onehot(
@@ -128,21 +274,78 @@ def grid_sample_3d_onehot(
     grid: jax.Array,
     *,
     pblk: int = 512,
+    quant: bool = False,
+    window: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
-    """Exact trilinear grid sample via one-hot MXU matmuls.
+    """Trilinear grid sample via one-hot MXU matmuls.
 
     vol: (B, D, H, W, C); grid: (B, Do, Ho, Wo, 3) with xyz in [-1, 1].
-    Returns (B, Do, Ho, Wo, C).  Equivalent to ``grid_sample_3d_ref``.
+    Returns (B, Do, Ho, Wo, C).  Equivalent to ``grid_sample_3d_ref``;
+    exact up to matmul dtype at ``quant=False``, W8A8-quantized sampling
+    weights/features at ``quant=True`` (per-sample symmetric scale).
+
+    ``window=True`` (default, needs grid shape == vol shape): when every
+    sample lands within a 32-row x 4-z-slice window of its own output
+    position — true for the bounded, smooth deformation fields dense
+    motion emits — an 8x-smaller windowed matmul runs instead of the full
+    table; a device-side bounds check falls back to the full (and still
+    exact) kernel otherwise, so the result never changes, only the speed.
     """
     b, d, h, w, c = vol.shape
     out_shape = grid.shape[:-1]
     # z-packed slab: (B, H*W, D*C), built with one transpose (bandwidth)
     slab = vol.transpose(0, 2, 3, 1, 4).reshape(b, h * w, d * c)
+    if quant:
+        sxq = (
+            jnp.max(jnp.abs(slab.astype(jnp.float32)), axis=(1, 2)) / 127.0
+            + 1e-12
+        )  # (B,)
+        sscale = sxq[:, None, None]
+        slab_full = jnp.clip(
+            jnp.round(slab.astype(jnp.float32) / sscale), -127, 127
+        ).astype(jnp.int8)
+    else:
+        sscale = jnp.ones((b, 1, 1), jnp.float32)
+        slab_full = slab
     g = grid.reshape(b, -1, 3).astype(jnp.float32)
     ptot = g.shape[1]
     pb = min(pblk, ptot)
     while ptot % pb:
         pb -= 1
-    out = _run(g[..., 0], g[..., 1], g[..., 2], slab, h, w, c, pb, interpret)
+    gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+
+    def run_full(_):
+        return _run(gx, gy, gz, slab_full, sscale, h, w, c, pb,
+                    quant, vol.dtype, interpret)
+
+    import math
+
+    rpb = 8 if h % 8 == 0 else 1
+    win_r = min(32, h)
+    # z origin must snap so the slab channel-slice offset (oz*c) is a
+    # multiple of 128 lanes; window = 3 snap groups (block + margin each
+    # side), or the whole depth when that's smaller
+    zsnap = 128 // math.gcd(c, 128)
+    win_z = min(d, 3 * zsnap)
+    windowable = (
+        window and out_shape == (b, d, h, w) and h % rpb == 0
+        and w % 8 == 0 and rpb * w >= 8 and d * h * w == ptot
+        and (win_z == d
+             or ((win_z * c) % 128 == 0 and (d - win_z) % zsnap == 0))
+        and win_r * w < h * w  # a window no smaller than the slab is no win
+    )
+    if not windowable:
+        out = run_full(None)
+        return out.reshape(*out_shape, c)
+
+    def run_win(_):
+        return _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap,
+                        rpb, vol.dtype, interpret)
+
+    fits = _window_fits(
+        _unnormalize(gx, w), _unnormalize(gy, h), _unnormalize(gz, d),
+        d, h, w, win_r, win_z, zsnap, rpb,
+    )
+    out = jax.lax.cond(fits, run_win, run_full, None)
     return out.reshape(*out_shape, c)

@@ -68,7 +68,56 @@ def conv2d_w8a8(
 def int8_worthwhile(x: jax.Array) -> bool:
     """Static gate: int8 wins when the conv is MXU-bound, not
     quantize-traffic-bound (measured: 64^2/128^2 with wide channels win,
-    256^2 is a wash)."""
+    256^2 is a wash for the XLA form; the Pallas fused form wins there —
+    see conv2d_int8_auto)."""
     h = x.shape[1]
     cin = x.shape[-1]
     return h <= 128 and cin >= 128
+
+
+def _pallas_qconv_ok(x: jax.Array, kernel: jax.Array) -> bool:
+    """Shapes where the VMEM-resident fused W8A8 Pallas kernel beats the
+    bf16 XLA conv (measured 3.32 vs 5.31 ms at 128ch/256^2, B=16 —
+    tools/profile_r3.jsonl qc_pallas_256): large spatial (the XLA W8A8
+    quantize round-trips dominate there), real channel width, stride-1
+    SAME odd kernels only (the kernel's halo DMA contract).
+
+    OPT-IN (CANONSWAP_PALLAS_QCONV=1): the kernel compiles and wins
+    standalone and under lax.scan, but embedding it in the full SPADE
+    decoder program hangs this environment's remote TPU compiler (>20 min,
+    no error) — so the dispatcher keeps it off until a toolchain fix."""
+    import os
+
+    if os.environ.get("CANONSWAP_PALLAS_QCONV", "0") != "1":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    h, w = x.shape[1], x.shape[2]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    return (
+        h >= 256 and w >= 256
+        # Mosaic DMA slices need 128-lane alignment on the channel dim
+        and cin % 128 == 0 and cout % 128 == 0
+        and kh % 2 == 1 and kw % 2 == 1 and kh <= 7 and kw <= 7
+    )
+
+
+def conv2d_int8_auto(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Best int8 stride-1 SAME conv for the shape: XLA W8A8 at <=128^2
+    (MXU-bound), Pallas fused W8A8 at >=256^2 (bandwidth-bound), exact
+    bf16 where quantization can't win."""
+    if int8_worthwhile(x):
+        return conv2d_w8a8(x, kernel, bias)
+    if _pallas_qconv_ok(x, kernel):
+        from canonswap_tpu.ops.pallas.qconv import qconv2d_pallas
+
+        return qconv2d_pallas(x, kernel, bias)
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME", dimension_numbers=_DN_2D
+    )
+    return y + bias.astype(x.dtype) if bias is not None else y

@@ -87,6 +87,25 @@ class FaceSwapSession:
                 model_cfg,
                 spade=_dc.replace(model_cfg.spade, norm_scale=sns),
             )
+        # warp backend: "auto" = the Pallas one-hot kernel on TPU (int8
+        # variant under flag_int8), the XLA packed gather elsewhere
+        warp_impl = str(
+            getattr(self.inference_cfg, "warp_impl", "auto") or "auto")
+        if warp_impl == "auto":
+            if jax.default_backend() in ("tpu", "axon"):
+                warp_impl = (
+                    "pallas_quant"
+                    if getattr(self.inference_cfg, "flag_int8", False)
+                    else "pallas")
+            else:
+                warp_impl = "packed"
+        if warp_impl != model_cfg.warping.warp_impl:
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                warping=_dc.replace(model_cfg.warping, warp_impl=warp_impl),
+            )
         self.model_cfg = model_cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         keys = jax.random.split(rng, 8)

@@ -70,6 +70,36 @@ def probes():
         lambda v, g: grid_sample_3d_onehot(v, g), (vol, grid))
     yield "warp_onehot_pblk1024", (
         lambda v, g: grid_sample_3d_onehot(v, g, pblk=1024), (vol, grid))
+    yield "warp_onehot_pblk256", (
+        lambda v, g: grid_sample_3d_onehot(v, g, pblk=256), (vol, grid))
+    yield "warp_onehot_quant", (
+        lambda v, g: grid_sample_3d_onehot(v, g, quant=True), (vol, grid))
+    yield "warp_onehot_quant256", (
+        lambda v, g: grid_sample_3d_onehot(v, g, quant=True, pblk=256),
+        (vol, grid))
+    yield "warp_onehot_quant128", (
+        lambda v, g: grid_sample_3d_onehot(v, g, quant=True, pblk=128),
+        (vol, grid))
+    yield "warp_onehot_pblk128", (
+        lambda v, g: grid_sample_3d_onehot(v, g, pblk=128), (vol, grid))
+
+    # windowed path: identity + small smooth displacement (the realistic
+    # dense-motion regime); the full-table fallback compiles too (lax.cond)
+    dd, hh, ww = 16, 64, 64
+    zz, yy, xx = jnp.meshgrid(
+        (jnp.arange(dd) + 0.5) / dd * 2 - 1,
+        (jnp.arange(hh) + 0.5) / hh * 2 - 1,
+        (jnp.arange(ww) + 0.5) / ww * 2 - 1,
+        indexing="ij",
+    )
+    ident = jnp.stack([xx, yy, zz], -1)[None]
+    disp = (jax.random.normal(ks[7], (B, dd, hh, ww, 3)) * 0.02).astype(
+        jnp.float32)
+    grid_small = (ident + disp).astype(DT)
+    yield "warp_onehot_win", (
+        lambda v, g: grid_sample_3d_onehot(v, g), (vol, grid_small))
+    yield "warp_packed_smallmotion", (
+        lambda v, g: grid_sample_3d_packed(v, g), (vol, grid_small))
 
 
 def main():

@@ -55,6 +55,45 @@ def stages():
         lambda p, f, i: C.swap_with_motion(core, p, f, i)[0]["out"],
         (params, frames, sid),
     )
+    import dataclasses as _dcw
+
+    # in-range synthetic motion: the regime trained extractors emit (and
+    # the one the windowed warp fast path keys on); extract_motion is still
+    # executed and folded into the output so its cost is counted
+    m_xt = jax.random.normal(jax.random.PRNGKey(5), (B, k, 3)) * 0.25
+    m_syn = {"kp": (m_xt + jax.random.normal(
+        jax.random.PRNGKey(6), (B, k, 3)) * 0.1).astype(DT),
+        "scale": jnp.ones((B, 1), DT), "x_t": m_xt.astype(DT)}
+
+    def _e2e_syn(which):
+        def fn(p, f, i, m):
+            minfo = C.extract_motion(which, p, f)
+            out = C.swap_step(which, p, f, i, m)
+            return out["out"] + jnp.mean(minfo["x_t"]).astype(out["out"].dtype)
+        return fn
+
+    core_pw = C.CanonSwapCore(_dcw.replace(
+        cfg, warping=_dcw.replace(cfg.warping, warp_impl="pallas")))
+    yield "e2e_exact_pallaswarp", (
+        lambda p, f, i: C.swap_with_motion(core_pw, p, f, i)[0]["out"],
+        (params, frames, sid),
+    )
+    yield "e2e_exact_pallaswarp_inrange", (
+        _e2e_syn(core_pw), (params, frames, sid, m_syn))
+    core_fb = C.CanonSwapCore(_dcw.replace(
+        cfg,
+        warping=_dcw.replace(cfg.warping, dense_motion_scale=2,
+                             warp_impl="pallas_quant"),
+        appearance=_dcw.replace(cfg.appearance, int8_conv=True),
+        swap=_dcw.replace(cfg.swap, int8_conv=True),
+        spade=_dcw.replace(cfg.spade, int8_conv=True),
+    ))
+    yield "e2e_fast_bundle", (
+        lambda p, f, i: C.swap_with_motion(core_fb, p, f, i)[0]["out"],
+        (params, frames, sid),
+    )
+    yield "e2e_fast_bundle_inrange", (
+        _e2e_syn(core_fb), (params, frames, sid, m_syn))
     yield "motion_extract", (
         lambda p, f: C.extract_motion(core, p, f), (params, frames))
     yield "appearance", (
