@@ -79,6 +79,12 @@ class SpadeConfig:
     # output resolution and bilinearly upsamples (nn/blocks.py::SPADE;
     # the modulations only carry segmap-resolution content). Exact at 1.
     norm_scale: int = 1
+    # run the six G_middle blocks as ONE VMEM-resident fused W8A8 Pallas
+    # kernel (ops/pallas/chain.py) — activations never round-trip HBM
+    # between blocks.  Same param tree; W8A8 quantization quality matches
+    # int8_conv.  Ignored (falls back to the per-block path) off-TPU
+    # unless interpreting.
+    fused_chain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +93,10 @@ class SwapConfig:
     n_blocks: int = 7  # adaptive 2D blocks (transfer_model2)
     n_resblocks_3d: int = 6
     int8_conv: bool = False  # W8A8 adaptive convs (see SpadeConfig.int8_conv)
+    # run the seven adaptive 2D blocks as ONE VMEM-resident fused W8A8
+    # Pallas kernel (ops/pallas/chain.py); same param tree as the
+    # per-block path.
+    fused_chain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

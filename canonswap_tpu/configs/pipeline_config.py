@@ -58,6 +58,7 @@ class ArgumentConfig:
     flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
     spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
     warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
+    fused_chain: str = "auto"  # auto|on|off: fused Pallas W8A8 block chains
 
 
 @dataclasses.dataclass
@@ -102,6 +103,10 @@ class InferenceConfig:
     # trilinear warp backend: auto = Pallas one-hot kernel on TPU
     # (int8 variant under flag_int8), XLA packed gather elsewhere
     warp_impl: str = "auto"
+    # fused VMEM-resident W8A8 Pallas chains for the SPADE middle blocks and
+    # the swap module's adaptive blocks (ops/pallas/chain.py); "auto" turns
+    # them on with flag_int8 on TPU, "on"/"off" force
+    fused_chain: str = "auto"
 
 
 @dataclasses.dataclass

@@ -6,13 +6,15 @@ accumulator materialization, and the dequant epilogue are all separate HBM
 round-trips around a 0.5-1 ms conv (measured: raw s8 conv 0.49 ms vs 1.17 ms
 with XLA quant/dequant for 512ch@64^2, tools/exp_int8.py).
 
-This kernel keeps the pipeline VMEM-resident: per (sample, row-chunk) it
-DMAs the bf16 rows (plus halo) from HBM once, quantizes on the VPU, runs the
-kh*kw shifted int8 matmuls on the MXU with int32 accumulation, and dequants
-(+bias) straight into the bf16 output rows — ONE read of x and ONE write of
-y.  x/out stay in HBM ``ANY`` space with manual ``make_async_copy`` chunks
-because whole-image VMEM blocks at 512ch/64^2 overflow VMEM once the
-pipeline double-buffers them (measured: N=1 compiles, N>=4 does not).
+This kernel keeps the pipeline VMEM-resident: per (sample, row-chunk)
+program it DMAs the bf16 rows (plus halo) from HBM once, quantizes on the
+VPU, runs the kh*kw shifted int8 matmuls on the MXU with int32 accumulation,
+and dequants (+bias) straight into the bf16 output rows — ONE read of x and
+ONE write of y.  The row chunk is a GRID dimension (not an in-kernel loop),
+so the kernel body stays small enough for the relay's remote compiler; the
+output writes through a regular BlockSpec while x stays in ``ANY`` space
+with a manual halo DMA (whole-image VMEM blocks at these shapes overflow
+VMEM once double-buffered).
 
 Per-sample activation scales are computed in XLA (a fused max-reduce over
 the bf16 input — bandwidth-trivial) so the scheme stays bit-identical to
@@ -35,73 +37,68 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    inv_ref, scale_ref, b_ref, kq_ref, x_hbm, out_hbm,
-    xbuf, obuf, sem_in, sem_out, *, kh, kw, h, w, chunk,
+    inv_ref, scale_ref, b_ref, kq_ref, x_hbm, out_ref, xbuf, sem_in,
+    *, kh, kw, h, w, chunk,
 ):
-    """One sample per program; row-chunks DMA'd and computed in sequence.
+    """One (sample, row-chunk) per program.
 
     inv_ref:   (1, 1, 1) f32 per-sample 1/activation-scale.
     scale_ref: (1, 1, Cout) f32 per-sample dequant scale (sx * sw).
     b_ref:     (1, 1, Cout) f32 bias (zeros when absent).
     kq_ref: (kh, kw, Cin, Cout) int8 (VMEM).
-    x_hbm:  (N, H, W, Cin) input, HBM.
-    out_hbm:(N, H, W, Cout) output, HBM.
+    x_hbm:  (N, H, W, Cin) input, HBM/ANY.
+    out_ref:(1, chunk, W, Cout) output rows (BlockSpec-pipelined).
     xbuf:   (chunk + 2*ph, W, Cin) bf16 scratch.
-    obuf:   (chunk, W, Cout) out-dtype scratch.
     """
     i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
     ph, pw = kh // 2, kw // 2
     cin = x_hbm.shape[-1]
-    cout = out_hbm.shape[-1]
+    cout = out_ref.shape[-1]
+    # fixed-size row fetch clamped into the image (Mosaic requires static
+    # DMA shapes); edge programs fix the halo up below with static rolls
+    src0 = jnp.clip(j * chunk - ph, 0, h - (chunk + 2 * ph))
+    cp = pltpu.make_async_copy(
+        x_hbm.at[i, pl.ds(src0, chunk + 2 * ph)], xbuf, sem_in
+    )
+    cp.start()
+    cp.wait()
+    if ph > 0:
+        @pl.when(j == 0)
+        def _top_edge():
+            # buf holds rows [0, chunk+2ph); want [-ph, chunk+ph) with the
+            # out-of-image rows zeroed (slice+concat — scatter/.at[] does
+            # not lower in Mosaic)
+            v = xbuf[:]
+            xbuf[:] = jnp.concatenate(
+                [jnp.zeros((ph, w, cin), v.dtype), v[: chunk + ph]], axis=0
+            )
+
+        @pl.when((j == nj - 1) & (nj > 1))
+        def _bottom_edge():
+            v = xbuf[:]
+            xbuf[:] = jnp.concatenate(
+                [v[ph:], jnp.zeros((ph, w, cin), v.dtype)], axis=0
+            )
+
     inv = inv_ref[0, 0, 0]
-    scale = scale_ref[0, 0]
-    bias = b_ref[0, 0]
-    for c0 in range(0, h, chunk):
-        lo = max(c0 - ph, 0)
-        hi = min(c0 + chunk + ph, h)
-        top = ph + lo - c0  # zero-pad rows at the image top edge
-        cp = pltpu.make_async_copy(
-            x_hbm.at[i, lo:hi], xbuf.at[pl.ds(top, hi - lo)], sem_in
-        )
-        cp.start()
-        if c0 + chunk + ph > h or c0 - ph < 0:
-            # edge chunks: clear the halo rows the DMA does not fill
-            # (scratch persists across chunks/programs — stale otherwise)
-            if top > 0:
-                xbuf[0:top] = jnp.zeros((top, w, cin), xbuf.dtype)
-            bot = (c0 + chunk + ph) - hi
-            if bot > 0:
-                xbuf[xbuf.shape[0] - bot :] = jnp.zeros(
-                    (bot, w, cin), xbuf.dtype
-                )
-        cp.wait()
-        q = jnp.clip(
-            jnp.round(xbuf[:].astype(jnp.float32) * inv), -127, 127
-        ).astype(jnp.int8)
-        q = jnp.pad(q, ((0, 0), (pw, pw), (0, 0)))
-        acc = jnp.zeros((chunk * w, cout), jnp.int32)
-        for dy in range(kh):
-            for dx in range(kw):
-                sl = q[dy : dy + chunk, dx : dx + w]
-                acc = acc + jax.lax.dot_general(
-                    sl.reshape(chunk * w, cin),
-                    kq_ref[dy, dx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-        if c0 > 0:
-            # reusing obuf: make sure the previous chunk's copy-out is done
-            pltpu.make_async_copy(
-                obuf, out_hbm.at[i, c0 - chunk : c0], sem_out
-            ).wait()
-        y = acc.astype(jnp.float32) * scale + bias
-        obuf[:] = y.reshape(chunk, w, cout).astype(obuf.dtype)
-        pltpu.make_async_copy(
-            obuf, out_hbm.at[i, c0 : c0 + chunk], sem_out
-        ).start()
-    pltpu.make_async_copy(
-        obuf, out_hbm.at[i, h - chunk : h], sem_out
-    ).wait()
+    q = jnp.clip(
+        jnp.round(xbuf[:].astype(jnp.float32) * inv), -127, 127
+    ).astype(jnp.int8)
+    q = jnp.pad(q, ((0, 0), (pw, pw), (0, 0)))
+    acc = jnp.zeros((chunk * w, cout), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = q[dy : dy + chunk, dx : dx + w]
+            acc = acc + jax.lax.dot_general(
+                sl.reshape(chunk * w, cin),
+                kq_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    y = acc.astype(jnp.float32) * scale_ref[0, 0] + b_ref[0, 0]
+    out_ref[0] = y.reshape(chunk, w, cout).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -110,26 +107,26 @@ def _kernel(
 def _run(x, inv, scale, bias, kq, chunk, out_dtype, interpret):
     n, h, w, cin = x.shape
     kh, kw, _, cout = kq.shape
-    ph, pw = kh // 2, kw // 2
+    ph = kh // 2
     kern = functools.partial(
         _kernel, kh=kh, kw=kw, h=h, w=w, chunk=chunk
     )
     return pl.pallas_call(
         kern,
-        grid=(n,),
+        grid=(n, h // chunk),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cout), lambda i: (0, 0, 0)),
-            pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((kh, kw, cin, cout), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(
+            (1, chunk, w, cout), lambda i, j: (i, j, 0, 0)
+        ),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((chunk + 2 * ph, w, cin), x.dtype),
-            pltpu.VMEM((chunk, w, cout), out_dtype),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -164,10 +161,15 @@ def qconv2d_pallas(
     )  # (N,)
     inv = (1.0 / sx)[:, None, None]
     scale = (sx[:, None] * sw[None, :])[:, None, :]  # (N, 1, Cout)
-    n = x.shape[0]
     bias3 = jnp.broadcast_to(b[None, None, :], (1, 1, b.shape[0]))
-    h = x.shape[1]
+    h, w = x.shape[1], x.shape[2]
+    cout = kernel.shape[-1]
+    ph = kernel.shape[0] // 2
     c = min(chunk, h)
-    while h % c:
+    # stay under Mosaic's 16MB scoped-VMEM stack: the int32 accumulator +
+    # f32 epilogue + double-buffered output rows all scale with the chunk
+    while c > 1 and (
+        h % c or (c + 2 * ph) > h or c * w * cout * 8 > (4 << 20)
+    ):
         c -= 1
     return _run(x, inv, scale, bias3, kq, c, x.dtype, interpret)

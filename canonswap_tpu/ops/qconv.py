@@ -18,6 +18,8 @@ exact bf16 remains the default path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -82,13 +84,10 @@ def _pallas_qconv_ok(x: jax.Array, kernel: jax.Array) -> bool:
     quantize round-trips dominate there), real channel width, stride-1
     SAME odd kernels only (the kernel's halo DMA contract).
 
-    OPT-IN (CANONSWAP_PALLAS_QCONV=1): the kernel compiles and wins
-    standalone and under lax.scan, but embedding it in the full SPADE
-    decoder program hangs this environment's remote TPU compiler (>20 min,
-    no error) — so the dispatcher keeps it off until a toolchain fix."""
-    import os
-
-    if os.environ.get("CANONSWAP_PALLAS_QCONV", "0") != "1":
+    Measured (B=16, clean chip, scan-slope): 128^2 128->512: 0.32 ms vs
+    1.81 XLA-W8A8 vs 5.57 bf16; 256^2 128->128: 3.29 vs 4.24 bf16.  At
+    64^2 XLA's conv is already at noise level — no win, stay off."""
+    if os.environ.get("CANONSWAP_PALLAS_QCONV", "1") != "1":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -96,7 +95,7 @@ def _pallas_qconv_ok(x: jax.Array, kernel: jax.Array) -> bool:
     h, w = x.shape[1], x.shape[2]
     cin, cout = kernel.shape[2], kernel.shape[3]
     return (
-        h >= 256 and w >= 256
+        h >= 128 and w >= 128
         # Mosaic DMA slices need 128-lane alignment on the channel dim
         and cin % 128 == 0 and cout % 128 == 0
         and kh % 2 == 1 and kw % 2 == 1 and kh <= 7 and kw <= 7
@@ -108,15 +107,16 @@ def conv2d_int8_auto(
     kernel: jax.Array,
     bias: jax.Array | None = None,
 ) -> jax.Array:
-    """Best int8 stride-1 SAME conv for the shape: XLA W8A8 at <=128^2
-    (MXU-bound), Pallas fused W8A8 at >=256^2 (bandwidth-bound), exact
-    bf16 where quantization can't win."""
-    if int8_worthwhile(x):
-        return conv2d_w8a8(x, kernel, bias)
+    """Best int8 stride-1 SAME conv for the shape: the fused Pallas W8A8
+    kernel where its quant-traffic fusion wins (>=128^2, 128-aligned
+    channels), the XLA W8A8 form at small MXU-bound shapes, exact bf16
+    where quantization can't win."""
     if _pallas_qconv_ok(x, kernel):
         from canonswap_tpu.ops.pallas.qconv import qconv2d_pallas
 
         return qconv2d_pallas(x, kernel, bias)
+    if int8_worthwhile(x):
+        return conv2d_w8a8(x, kernel, bias)
     y = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), "SAME", dimension_numbers=_DN_2D
     )

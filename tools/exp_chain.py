@@ -1,0 +1,90 @@
+"""Probe: fused VMEM-resident W8A8 block chains vs the per-block int8 path.
+
+Measures the SAME flax modules with cfg.fused_chain toggled (identical
+param trees), at CANONICAL shapes, via scan-slope timing.
+
+Run on the TPU:  python tools/exp_chain.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from ubench import scan_slope_time
+
+B = 16
+DT = jnp.bfloat16
+
+
+def _cast(tree, dt):
+    return jax.tree.map(
+        lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree)
+
+
+def probes():
+    from canonswap_tpu.configs.model_config import CANONICAL
+    from canonswap_tpu.models.spade_decoder import SPADEDecoder
+    from canonswap_tpu.models.swap import SwapModule
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    k = jax.random.PRNGKey(0)
+
+    # ---- swap module: 7 adaptive blocks + 6 packed res3d ----
+    sw_i8 = SwapModule(dataclasses.replace(CANONICAL.swap, int8_conv=True))
+    sw_fc = SwapModule(dataclasses.replace(CANONICAL.swap, fused_chain=True))
+    vol = jax.random.normal(k, (B, 16, 64, 64, 32), DT)
+    lat = jax.random.normal(jax.random.fold_in(k, 1), (B, 512), DT)
+    with jax.default_device(cpu):
+        swp = sw_i8.init(jax.random.fold_in(k, 2),
+                         jnp.zeros((1, 16, 64, 64, 32)), jnp.zeros((1, 512)))
+    swp = jax.device_put(_cast(swp, DT), dev)
+    yield "swap_fused_chain", (
+        lambda v, l: sw_fc.apply(swp, v, l), (vol, lat))
+    yield "swap_int8_blocks", (
+        lambda v, l: sw_i8.apply(swp, v, l), (vol, lat))
+
+    # ---- SPADE decoder: 6 fused middle blocks vs int8 per-block ----
+    sp_i8 = SPADEDecoder(dataclasses.replace(CANONICAL.spade, int8_conv=True))
+    sp_fc = SPADEDecoder(dataclasses.replace(
+        CANONICAL.spade, int8_conv=True, fused_chain=True))
+    feat = jax.random.normal(jax.random.fold_in(k, 3), (B, 64, 64, 256), DT)
+    with jax.default_device(cpu):
+        spp = sp_i8.init(jax.random.fold_in(k, 4),
+                         jnp.zeros((1, 64, 64, 256)))
+    spp = jax.device_put(_cast(spp, DT), dev)
+    yield "spade_fused_chain", (lambda f: sp_fc.apply(spp, f), (feat,))
+    yield "spade_int8_blocks", (lambda f: sp_i8.apply(spp, f), (feat,))
+
+
+def main():
+    want = sys.argv[1:]
+    out = open(os.path.join(os.path.dirname(__file__), "profile_r3.jsonl"), "a")
+    for name, (fn, inputs) in probes():
+        if want and name not in want:
+            continue
+        try:
+            sec = scan_slope_time(fn, inputs)
+            rec = {"stage": name, "ms_per_step": round(sec * 1000, 2),
+                   "batch": B}
+        except Exception as e:  # noqa: BLE001 — record and continue
+            rec = {"stage": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(rec), flush=True)
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+
+
+if __name__ == "__main__":
+    main()
+
+

@@ -42,6 +42,25 @@ def probes():
     wg = jax.random.normal(ks[3], (3, 3, 128, 1024), DT) * 0.02
     yield "qc_xla_gb", (lambda a, w: conv2d_w8a8(a, w), (xg, wg))
     yield "qc_pallas_gb", (lambda a, w: qconv2d_pallas(a, w), (xg, wg))
+    from jax import lax as _lax
+
+    yield "qc_bf16_gb", (
+        lambda a, w: _lax.conv_general_dilated(
+            a, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")),
+        (xg, wg),
+    )
+    # the middle-block gb shape: 128 -> 1024 at 64^2 happens at c=512
+    xg2 = jax.random.normal(ks[2], (B, 128, 128, 128), DT)
+    wg2 = jax.random.normal(ks[3], (3, 3, 128, 512), DT) * 0.02
+    yield "qc_pallas_gb128", (lambda a, w: qconv2d_pallas(a, w), (xg2, wg2))
+    yield "qc_xla_gb128", (lambda a, w: conv2d_w8a8(a, w), (xg2, wg2))
+    yield "qc_bf16_gb128", (
+        lambda a, w: _lax.conv_general_dilated(
+            a, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")),
+        (xg2, wg2),
+    )
 
     # 256^2 shape (up_1) where XLA w8a8 was a wash vs bf16
     x256 = jax.random.normal(ks[4], (B, 256, 256, 128), DT)
