@@ -85,6 +85,13 @@ class SpadeConfig:
     # int8_conv.  Ignored (falls back to the per-block path) off-TPU
     # unless interpreting.
     fused_chain: bool = False
+    # half-body grid form of the fused chain (ops/pallas/chain.py ksplit)
+    chain_ksplit: bool = False
+    # compute the up_1 (factor-4) SPADE gamma/beta convs at segmap
+    # resolution over the distinct actv phase fields (exact — see
+    # ops/resize.py::conv3x3_phase_folded; ~31% fewer MACs on the decode
+    # floor and no full-res actv materialization)
+    phase_fold: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +104,8 @@ class SwapConfig:
     # Pallas kernel (ops/pallas/chain.py); same param tree as the
     # per-block path.
     fused_chain: bool = False
+    # half-body grid form of the fused chain (ops/pallas/chain.py ksplit)
+    chain_ksplit: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,6 +59,7 @@ class ArgumentConfig:
     spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
     warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
     fused_chain: str = "auto"  # auto|on|off: fused Pallas W8A8 block chains
+    spade_phase_fold: bool = False  # exact segmap-res up_1 gamma/beta convs
 
 
 @dataclasses.dataclass
@@ -107,6 +108,9 @@ class InferenceConfig:
     # the swap module's adaptive blocks (ops/pallas/chain.py); "auto" turns
     # them on with flag_int8 on TPU, "on"/"off" force
     fused_chain: str = "auto"
+    # compute the up_1 SPADE gamma/beta convs at segmap resolution over the
+    # actv phase fields (exact reformulation, ops/resize.py)
+    spade_phase_fold: bool = False
 
 
 @dataclasses.dataclass

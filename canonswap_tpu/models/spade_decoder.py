@@ -89,7 +89,8 @@ class SPADEDecoder(nn.Module):
             ], axis=1)  # (N, nb, 2, H, W, 128)
             prep = spade_chain_params(blocks)
             interp = jax.default_backend() not in ("tpu", "axon")
-            x = spade_chain(x, actv, prep, interpret=interp)
+            x = spade_chain(x, actv, prep, interpret=interp,
+                            ksplit=c.chain_ksplit)
         else:
             for i in range(6):
                 x = SPADEResnetBlock(2 * ic, 2 * ic, sn=sn, int8=q,
@@ -99,7 +100,8 @@ class SPADEDecoder(nn.Module):
                              norm_scale=c.norm_scale, name="up_0")(x, seg)
         x = nearest_upsample(x, (2, 2))
         x = SPADEResnetBlock(ic, c.out_channels, sn=sn, int8=q,
-                             norm_scale=c.norm_scale, name="up_1")(x, seg)
+                             norm_scale=c.norm_scale,
+                             phase_fold=c.phase_fold, name="up_1")(x, seg)
         x = nn.leaky_relu(x, 0.2)
         if c.upscale is None or c.upscale <= 1:
             x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(x)

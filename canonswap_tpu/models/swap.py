@@ -143,7 +143,8 @@ class SwapModule(nn.Module):
             latents_style = jnp.stack(styles, axis=1)  # (N, nb, 2, c)
             prep = adaptive_chain_params(blocks, latents_style)
             interp = jax.default_backend() not in ("tpu", "axon")
-            x = adaptive_chain(x, prep, interpret=interp)
+            x = adaptive_chain(x, prep, interpret=interp,
+                               ksplit=self.cfg.chain_ksplit)
         else:
             for i in range(self.cfg.n_blocks):
                 x, mask = AdaptiveResBlock2d(

@@ -317,6 +317,7 @@ class SPADE(nn.Module):
 
     int8: bool = False
     norm_scale: int = 1
+    phase_fold: bool = False
 
     @nn.compact
     def __call__(self, x, segmap, normalized=None):
@@ -331,6 +332,28 @@ class SPADE(nn.Module):
             self.norm_scale > 1 and fh == fw
             and fh % self.norm_scale == 0) else 1
         fh_eff = fh // ns
+        if self.phase_fold and fh == fw == 4 and ns == 1:
+            # gamma/beta computed AT SEGMAP RESOLUTION over the distinct
+            # phase fields of the upsampled-conv actv (exact; factor 4 has
+            # 100 effective tap pairs vs 144 and skips materializing the
+            # full-res actv — ops/resize.py::conv3x3_phase_folded).  factor
+            # 2 has no degenerate phases (no MAC cut), so it stays on the
+            # standard path.
+            from canonswap_tpu.ops.resize import (
+                conv3x3_phase_folded, nearest_upsample_conv3x3_fields)
+
+            ka, kab = _Conv3x3Params(128, segmap.shape[-1],
+                                     name="mlp_shared")()
+            kg, bg = _Conv3x3Params(c, 128, name="mlp_gamma")()
+            kb2, bb = _Conv3x3Params(c, 128, name="mlp_beta")()
+            fields, p2c = nearest_upsample_conv3x3_fields(
+                segmap, ka, kab, fh)
+            gb = conv3x3_phase_folded(
+                nn.relu(fields), p2c,
+                jnp.concatenate([kg, kb2], axis=-1),
+                jnp.concatenate([bg, bb]), fh)
+            gamma, beta = gb[..., :c], gb[..., c:]
+            return normalized * (1 + gamma) + beta
         if fh == fw and fh_eff in (1, 2, 4):
             # mlp_shared on the nearest-upsampled segmap folds to segmap
             # resolution (exact; 2.25-4x fewer MACs — ops.resize.
@@ -406,6 +429,7 @@ class SPADEResnetBlock(nn.Module):
     sn: bool = False
     int8: bool = False
     norm_scale: int = 1
+    phase_fold: bool = False
 
     def _conv(self, features, kernel, name, use_bias=True):
         if self.sn:
@@ -422,17 +446,19 @@ class SPADEResnetBlock(nn.Module):
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         ns = self.norm_scale
+        pf = self.phase_fold
         if learned_shortcut:
             xn = instance_norm(x)  # shared by norm_s and norm_0 (exact)
-            x_s = SPADE(int8=self.int8, norm_scale=ns,
+            x_s = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
                         name="norm_s")(x, seg, normalized=xn)
             x_s = self._conv(self.fout, (1, 1), "conv_s", use_bias=False)(x_s)
         else:
             xn = None
             x_s = x
-        dx = SPADE(int8=self.int8, norm_scale=ns,
+        dx = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
                    name="norm_0")(x, seg, normalized=xn)
         dx = self._conv(fmiddle, (3, 3), "conv_0")(nn.leaky_relu(dx, 0.2))
-        dx = SPADE(int8=self.int8, norm_scale=ns, name="norm_1")(dx, seg)
+        dx = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
+                   name="norm_1")(dx, seg)
         dx = self._conv(self.fout, (3, 3), "conv_1")(nn.leaky_relu(dx, 0.2))
         return x_s + dx

@@ -178,6 +178,107 @@ def _spade_run(x, actv, kgb, sgb, bgb, kcv, scv, bcv, interpret=False):
     )(actv, kgb, sgb, bgb, kcv, scv, bcv, x)
 
 
+def _spade_kernel_ks(
+    actv_ref, kgb_ref, sgb_ref, bgb_ref, kcv_ref, scv_ref, bcv_ref,
+    x_hbm, out_hbm, xs, hs, sem_in, sem_out, *, h, w, c, nb,
+):
+    """k-split form of :func:`_spade_kernel`: grid (sample, block, sub),
+    ONE norm+conv pair per program — half the kernel body (27 MXU matmuls
+    instead of 54), for remote compilers that stall on the full body.
+    ``hs`` (f32 scratch) carries hcur between the two subs of a block;
+    math and op order are identical to the fused form.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((j == 0) & (k == 0))
+    def _load():
+        cp = pltpu.make_async_copy(x_hbm.at[i], xs, sem_in)
+        cp.start()
+        cp.wait()
+
+    hcur = jnp.where(k == 0, xs[:].astype(jnp.float32), hs[:])
+    base = _inorm(hcur)
+    a = actv_ref[0, 0].astype(jnp.float32)
+    qa, sa = _quant_act(a)
+    qa = _pad_hw(qa)
+    gacc = _conv9(qa, kgb_ref, lambda dy, dx: kgb_ref[0, dy * 3 + dx, :, :c],
+                  h, w, 128, c)
+    bacc = _conv9(qa, kgb_ref, lambda dy, dx: kgb_ref[0, dy * 3 + dx, :, c:],
+                  h, w, 128, c)
+    gamma = (gacc.astype(jnp.float32) * (sa * sgb_ref[0, :c])
+             + bgb_ref[0, :c]).reshape(h, w, c)
+    beta = (bacc.astype(jnp.float32) * (sa * sgb_ref[0, c:])
+            + bgb_ref[0, c:]).reshape(h, w, c)
+    t = base * (1.0 + gamma) + beta
+    t = jnp.where(t >= 0, t, _LEAK * t)
+    qt, st = _quant_act(t)
+    qt = _pad_hw(qt)
+    acc = _conv9(qt, kcv_ref, lambda dy, dx: kcv_ref[0, dy * 3 + dx],
+                 h, w, c, c)
+    hnew = (acc.astype(jnp.float32) * (st * scv_ref[0])
+            + bcv_ref[0]).reshape(h, w, c)
+
+    @pl.when(k == 0)
+    def _stash():
+        hs[:] = hnew
+
+    @pl.when(k == 1)
+    def _residual():
+        xs[:] = (xs[:].astype(jnp.float32) + hnew).astype(xs.dtype)
+
+    @pl.when((j == nb - 1) & (k == 1))
+    def _store():
+        cp = pltpu.make_async_copy(xs, out_hbm.at[i], sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spade_run_ks(x, actv, kgb, sgb, bgb, kcv, scv, bcv, interpret=False):
+    n, h, w, c = x.shape
+    nb = kgb.shape[0]
+    kern = functools.partial(_spade_kernel_ks, h=h, w=w, c=c, nb=nb)
+    actv6 = actv.reshape(n, nb * 2, h, w, 128)
+    kgb2 = kgb.reshape(nb * 2, 9, 128, 2 * c)
+    kcv2 = kcv.reshape(nb * 2, 9, c, c)
+    sgb2 = sgb.reshape(nb * 2, 2 * c)
+    bgb2 = bgb.reshape(nb * 2, 2 * c)
+    scv2 = scv.reshape(nb * 2, c)
+    bcv2 = bcv.reshape(nb * 2, c)
+    return pl.pallas_call(
+        kern,
+        grid=(n, nb, 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w, 128),
+                         lambda i, j, k: (i, j * 2 + k, 0, 0, 0)),
+            pl.BlockSpec((1, 9, 128, 2 * c),
+                         lambda i, j, k: (j * 2 + k, 0, 0, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, 9, c, c),
+                         lambda i, j, k: (j * 2 + k, 0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, w, c), x.dtype),
+            pltpu.VMEM((h, w, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(actv6, kgb2, sgb2, bgb2, kcv2, scv2, bcv2, x)
+
+
 def spade_chain_params(blocks):
     """XLA-side prep from per-block raw params.
 
@@ -201,14 +302,17 @@ def spade_chain_params(blocks):
     return kgb, sgb.astype(jnp.float32), bgb, kcv, scv.astype(jnp.float32), bcv
 
 
-def spade_chain(x, actv, prep, *, interpret=False):
+def spade_chain(x, actv, prep, *, interpret=False, ksplit=False):
     """Fused SPADE middle chain.
 
     x: (N, H, W, C) bf16; actv: (N, nb, 2, H, W, 128) bf16 (relu'd
     mlp_shared outputs); prep: output of spade_chain_params.
+    ``ksplit`` runs the half-body grid form (identical math).
     """
     n, h, w, c = x.shape
     nb = prep[0].shape[0]
+    if ksplit:
+        return _spade_run_ks(x, actv, *prep, interpret=interpret)
     actv5 = actv.reshape(n, nb, 2 * h, w, 128)
     return _spade_run(x, actv5, *prep, interpret=interpret)
 
@@ -353,6 +457,97 @@ def _adaptive_run(x, style, demod, kq, sw, ba, interpret=False):
     )(style, demod, kq, sw, ba, x)
 
 
+def _adaptive_kernel_ks(
+    style_ref, demod_ref, kq_ref, sw_ref, ba_ref,
+    x_hbm, out_hbm, xs, hs, sem_in, sem_out, *, h, w, c, nb,
+):
+    """k-split form of :func:`_adaptive_kernel` (one conv trio per program;
+    see _spade_kernel_ks for the rationale)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((j == 0) & (k == 0))
+    def _load():
+        cp = pltpu.make_async_copy(x_hbm.at[i], xs, sem_in)
+        cp.start()
+        cp.wait()
+
+    hcur = jnp.where(k == 0, xs[:].astype(jnp.float32), hs[:])
+    qs, ss = _quant_act(hcur)
+    qm, sm = _quant_act(hcur * style_ref[0, 0])
+    qs = _pad_hw(qs)
+    qm = _pad_hw(qm)
+    acc_s = _conv9(qs, kq_ref, lambda dy, dx: kq_ref[0, dy * 3 + dx, :, :c],
+                   h, w, c, c)
+    acc_k = _conv9(qs, kq_ref, lambda dy, dx: kq_ref[0, dy * 3 + dx, :, c:],
+                   h, w, c, 128)
+    acc_m = _conv9(qm, kq_ref, lambda dy, dx: kq_ref[0, dy * 3 + dx, :, :c],
+                   h, w, c, c)
+    y_std = acc_s.astype(jnp.float32) * (ss * sw_ref[0, :c])
+    mlog = (acc_k[:, 0:1].astype(jnp.float32) * (ss * sw_ref[0, c])
+            + ba_ref[0, c])
+    mask = jax.nn.sigmoid(mlog)
+    y_mod = (acc_m.astype(jnp.float32)
+             * (sm * sw_ref[0, :c] * demod_ref[0, 0])
+             + ba_ref[0, :c])
+    y = mask * y_mod + (1.0 - mask) * y_std
+    y = jnp.where(k == 0, jnp.maximum(y, 0.0), y)
+    hnew = y.reshape(h, w, c)
+
+    @pl.when(k == 0)
+    def _stash():
+        hs[:] = hnew
+
+    @pl.when(k == 1)
+    def _residual():
+        xs[:] = (xs[:].astype(jnp.float32) + hnew).astype(xs.dtype)
+
+    @pl.when((j == nb - 1) & (k == 1))
+    def _store():
+        cp = pltpu.make_async_copy(xs, out_hbm.at[i], sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _adaptive_run_ks(x, style, demod, kq, sw, ba, interpret=False):
+    n, h, w, c = x.shape
+    nb = kq.shape[0]
+    kern = functools.partial(_adaptive_kernel_ks, h=h, w=w, c=c, nb=nb)
+    style2 = style.reshape(n, nb * 2, c)
+    demod2 = demod.reshape(n, nb * 2, c)
+    kq2 = kq.reshape(nb * 2, 9, c, c + 128)
+    sw2 = sw.reshape(nb * 2, c + 128)
+    ba2 = ba.reshape(nb * 2, c + 128)
+    return pl.pallas_call(
+        kern,
+        grid=(n, nb, 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, j * 2 + k, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, j * 2 + k, 0)),
+            pl.BlockSpec((1, 9, c, c + 128),
+                         lambda i, j, k: (j * 2 + k, 0, 0, 0)),
+            pl.BlockSpec((1, c + 128), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, c + 128), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, w, c), x.dtype),
+            pltpu.VMEM((h, w, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(style2, demod2, kq2, sw2, ba2, x)
+
+
 def adaptive_chain_params(blocks, latents_style):
     """Prep for adaptive_chain.
 
@@ -381,8 +576,11 @@ def adaptive_chain_params(blocks, latents_style):
     return st, demod, kq, sw.astype(jnp.float32), ba
 
 
-def adaptive_chain(x, prep, *, interpret=False):
-    """Fused adaptive chain. x: (N, H, W, C) bf16."""
+def adaptive_chain(x, prep, *, interpret=False, ksplit=False):
+    """Fused adaptive chain. x: (N, H, W, C) bf16.
+    ``ksplit`` runs the half-body grid form (identical math)."""
+    if ksplit:
+        return _adaptive_run_ks(x, *prep, interpret=interpret)
     return _adaptive_run(x, *prep, interpret=interpret)
 
 

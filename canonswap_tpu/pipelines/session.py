@@ -103,6 +103,13 @@ class FaceSwapSession:
                 model_cfg,
                 spade=_dc.replace(model_cfg.spade, norm_scale=sns),
             )
+        if getattr(self.inference_cfg, "spade_phase_fold", False):
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                spade=_dc.replace(model_cfg.spade, phase_fold=True),
+            )
         # warp backend: "auto" = the Pallas one-hot kernel on TPU (int8
         # variant under flag_int8), the XLA packed gather elsewhere
         warp_impl = str(

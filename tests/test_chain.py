@@ -58,6 +58,20 @@ def test_spade_chain_kernel_matches_ref():
     assert _rel(ref, out) < 2e-2  # bf16 roundings accumulate across blocks
 
 
+def test_spade_chain_ksplit_matches_ref():
+    n, h, w, c, cseg, nb = 2, 8, 8, 128, 64, 3
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(k1, (n, h, w, c), jnp.bfloat16)
+    blocks = _make_spade_blocks(k2, nb, c, cseg)
+    actv = jax.nn.relu(
+        jax.random.normal(k3, (n, nb, 2, h, w, 128), jnp.bfloat16))
+    ref = spade_chain_ref(x, actv, blocks)
+    prep = spade_chain_params(blocks)
+    out = spade_chain(x, actv, prep, interpret=True, ksplit=True)
+    assert out.shape == ref.shape
+    assert _rel(ref, out) < 2e-2
+
+
 def _make_adaptive_blocks(key, nb, c):
     ks = jax.random.split(key, nb * 5).reshape(nb, 5, 2)
     blocks = []
@@ -80,6 +94,19 @@ def test_adaptive_chain_kernel_matches_ref():
     ref = adaptive_chain_ref(x, blocks, styles)
     prep = adaptive_chain_params(blocks, styles)
     out = adaptive_chain(x, prep, interpret=True)
+    assert out.shape == ref.shape
+    assert _rel(ref, out) < 2e-2
+
+
+def test_adaptive_chain_ksplit_matches_ref():
+    n, h, w, c, nb = 2, 8, 8, 128, 3
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = jax.random.normal(k1, (n, h, w, c), jnp.bfloat16)
+    blocks = _make_adaptive_blocks(k2, nb, c)
+    styles = 1.0 + 0.3 * jax.random.normal(k3, (n, nb, 2, c))
+    ref = adaptive_chain_ref(x, blocks, styles)
+    prep = adaptive_chain_params(blocks, styles)
+    out = adaptive_chain(x, prep, interpret=True, ksplit=True)
     assert out.shape == ref.shape
     assert _rel(ref, out) < 2e-2
 

@@ -66,6 +66,16 @@ def probes():
     yield "spade_fused_chain", (lambda f: sp_fc.apply(spp, f), (feat,))
     yield "spade_int8_blocks", (lambda f: sp_i8.apply(spp, f), (feat,))
 
+    # ---- phase-folded up_1 gamma/beta (exact) on top of int8 / bf16 ----
+    sp_pf8 = SPADEDecoder(dataclasses.replace(
+        CANONICAL.spade, int8_conv=True, phase_fold=True))
+    sp_pf = SPADEDecoder(dataclasses.replace(
+        CANONICAL.spade, phase_fold=True))
+    sp_bf = SPADEDecoder(CANONICAL.spade)
+    yield "spade_int8_phasefold", (lambda f: sp_pf8.apply(spp, f), (feat,))
+    yield "spade_phasefold", (lambda f: sp_pf.apply(spp, f), (feat,))
+    yield "spade_bf16", (lambda f: sp_bf.apply(spp, f), (feat,))
+
 
 def main():
     want = sys.argv[1:]

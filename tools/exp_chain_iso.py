@@ -60,6 +60,13 @@ def probes():
 
     yield "spade_chain_iso", run_spade
 
+    def run_spade_ks():
+        return scan_slope_time(
+            lambda xx, aa: spade_chain(xx, aa, prep_s, ksplit=True),
+            (x, actv))
+
+    yield "spade_chain_iso_ks", run_spade_ks
+
     # ---- adaptive chain: nb=7, c=512 ----
     na = 7
     style = 1.0 + 0.2 * jax.random.normal(ks[8], (B, na, 2, C))
@@ -73,6 +80,12 @@ def probes():
         return scan_slope_time(lambda xx: adaptive_chain(xx, prep_a), (x,))
 
     yield "adaptive_chain_iso", run_adaptive
+
+    def run_adaptive_ks():
+        return scan_slope_time(
+            lambda xx: adaptive_chain(xx, prep_a, ksplit=True), (x,))
+
+    yield "adaptive_chain_iso_ks", run_adaptive_ks
 
 
 def main():
