@@ -20,6 +20,9 @@ class AppearanceConfig:
     reshape_depth: int = 16
     num_resblocks: int = 6
     int8_conv: bool = False  # W8A8 packed volume chain (flag_int8)
+    # run the packed res3d chain as ONE VMEM-resident fused W8A8 Pallas
+    # kernel (ops/pallas/chain3d.py); same param tree
+    fused_chain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

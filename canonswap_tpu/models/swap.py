@@ -155,9 +155,22 @@ class SwapModule(nn.Module):
         from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
 
         x = pack_hw2(volume_from_2d(x, d))
-        for i in range(self.cfg.n_resblocks_3d):
-            x = ResBlock3d(name=f"res3d_{i}", packed=True,
-                           int8=self.cfg.int8_conv)(x, train)
+        if self.cfg.fused_chain and not train:
+            from canonswap_tpu.nn.blocks import _Res3dBNParams
+            from canonswap_tpu.ops.pallas.chain3d import (
+                res3d_bn_chain, res3d_bn_chain_params)
+
+            blocks3 = [
+                _Res3dBNParams(x.shape[-1] // 4, name=f"res3d_{i}")()
+                for i in range(self.cfg.n_resblocks_3d)
+            ]
+            interp = jax.default_backend() not in ("tpu", "axon")
+            x = res3d_bn_chain(x, res3d_bn_chain_params(blocks3),
+                               interpret=interp)
+        else:
+            for i in range(self.cfg.n_resblocks_3d):
+                x = ResBlock3d(name=f"res3d_{i}", packed=True,
+                               int8=self.cfg.int8_conv)(x, train)
         x = unpack_hw2(x)
         if return_mask:
             return x, masks

@@ -44,6 +44,95 @@ class _Conv3x3Params(nn.Module):
         return kernel, bias
 
 
+class _BNStatsParams(nn.Module):
+    """Param-compatible stand-in for an inference ``nn.BatchNorm``
+    (params scale/bias + batch_stats mean/var); the caller applies the
+    folded affine (fused chain3d path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        return s, b, mean.value, var.value
+
+
+class _Conv3dParams(nn.Module):
+    """Param-compatible stand-in for a 3x3x3 ``Conv3D`` (kernel/bias)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _Res3dBNParams(nn.Module):
+    """Param-tree stand-in for one packed ResBlock3d (BN pre-act); the
+    fused kernel (ops/pallas/chain3d.py) applies the math."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        b0 = _BNStatsParams(c, name="BatchNorm_0")()
+        k0 = _Conv3dParams(c, c, name="Conv_0")()
+        b1 = _BNStatsParams(c, name="BatchNorm_1")()
+        k1 = _Conv3dParams(c, c, name="Conv_1")()
+        return {
+            "bn_scale": jnp.stack([b0[0], b1[0]]),
+            "bn_bias": jnp.stack([b0[1], b1[1]]),
+            "bn_mean": jnp.stack([b0[2], b1[2]]),
+            "bn_var": jnp.stack([b0[3], b1[3]]),
+            "kernel": jnp.stack([k0[0], k1[0]]),
+            "bias": jnp.stack([k0[1], k1[1]]),
+        }
+
+
+class _GNParams(nn.Module):
+    """Param-compatible stand-in for ``nn.GroupNorm`` (scale/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _Res3dGNParams(nn.Module):
+    """Param-tree stand-in for one packed ResBlock3dLeakGN with identity
+    shortcut (fused chain3d path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        k0 = _Conv3dParams(c, c, name="conv1")()
+        g0 = _GNParams(c, name="gn1")()
+        k1 = _Conv3dParams(c, c, name="conv2")()
+        g1 = _GNParams(c, name="gn2")()
+        return {
+            "kernel": jnp.stack([k0[0], k1[0]]),
+            "bias": jnp.stack([k0[1], k1[1]]),
+            "gn_scale": jnp.stack([g0[0], g1[0]]),
+            "gn_bias": jnp.stack([g0[1], g1[1]]),
+        }
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm2d, affine=False (torch default) for (N, H, W, C)."""
     axes = tuple(range(1, x.ndim - 1))
@@ -351,7 +440,7 @@ class SPADE(nn.Module):
             gb = conv3x3_phase_folded(
                 nn.relu(fields), p2c,
                 jnp.concatenate([kg, kb2], axis=-1),
-                jnp.concatenate([bg, bb]), fh)
+                jnp.concatenate([bg, bb]), fh, int8=self.int8)
             gamma, beta = gb[..., :c], gb[..., c:]
             return normalized * (1 + gamma) + beta
         if fh == fw and fh_eff in (1, 2, 4):

@@ -181,7 +181,7 @@ def nearest_upsample_conv3x3_fields(
 
 def conv3x3_phase_folded(
     fields: jax.Array, phase_to_class: list[int], kernel: jax.Array,
-    bias: jax.Array | None, factor: int,
+    bias: jax.Array | None, factor: int, int8: bool = False,
 ) -> jax.Array:
     """``conv3x3_same(interleave(fields))`` computed AT LOW RESOLUTION.
 
@@ -227,11 +227,19 @@ def conv3x3_phase_folded(
                         sum(kernel[dy, dx] for dy in dys for dx in dxs))
             x = jnp.concatenate(slabs, axis=-1)  # (B, H, W, ntap*Cin)
             kf = jnp.concatenate(kers, axis=0)   # (ntap*Cin, Cout)
-            # f32 accumulation to match lax.conv's bf16 behavior
-            phases.append(
-                jnp.einsum("bhwi,io->bhwo", x, kf,
-                           preferred_element_type=jnp.float32)
-                .astype(fields.dtype))
+            if int8:
+                # each phase is a dense 1x1 matmul at low res — MXU-bound,
+                # the W8A8 sweet spot (quantize traffic is 1/f^2 of the
+                # full-res form)
+                from canonswap_tpu.ops.qconv import conv2d_w8a8
+
+                phases.append(conv2d_w8a8(x, kf[None, None]))
+            else:
+                # f32 accumulation to match lax.conv's bf16 behavior
+                phases.append(
+                    jnp.einsum("bhwi,io->bhwo", x, kf,
+                               preferred_element_type=jnp.float32)
+                    .astype(fields.dtype))
     ph = jnp.stack(phases, axis=0).reshape(factor, factor, b, h, w, cout)
     out = ph.transpose(2, 3, 0, 4, 1, 5).reshape(
         b, factor * h, factor * w, cout)

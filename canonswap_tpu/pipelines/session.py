@@ -94,6 +94,8 @@ class FaceSwapSession:
                 model_cfg,
                 swap=_dc.replace(model_cfg.swap, fused_chain=True),
                 spade=_dc.replace(model_cfg.spade, fused_chain=True),
+                appearance=_dc.replace(model_cfg.appearance,
+                                       fused_chain=True),
             )
         sns = int(getattr(self.inference_cfg, "spade_norm_scale", 1))
         if sns > 1:

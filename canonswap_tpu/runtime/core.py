@@ -63,7 +63,8 @@ class CanonSwapCore:
     def refine(self) -> RefineModule:
         # the refine chain runs on the same volume as the swap 3D chain, so
         # it shares the swap int8 flag
-        return RefineModule(int8=self.cfg.swap.int8_conv)
+        return RefineModule(int8=self.cfg.swap.int8_conv,
+                            fused_chain=self.cfg.swap.fused_chain)
 
     @functools.cached_property
     def stitching(self):

@@ -72,6 +72,21 @@ def test_conv3x3_phase_folded_matches_direct(factor):
     assert _rel(want, got) < 1e-6
 
 
+def test_conv3x3_phase_folded_int8_tracks_bf16():
+    """The W8A8 variant stays within the int8 quantization budget."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    seg = jax.random.normal(ks[0], (2, 8, 8, 24), jnp.float32)
+    ka = jax.random.normal(ks[1], (3, 3, 24, 32), jnp.float32) * 0.1
+    ba = jax.random.normal(ks[2], (32,), jnp.float32) * 0.1
+    kgb = jax.random.normal(ks[3], (3, 3, 32, 12), jnp.float32) * 0.1
+    bgb = jax.random.normal(ks[4], (12,), jnp.float32) * 0.1
+    fields, p2c = nearest_upsample_conv3x3_fields(seg, ka, ba, 4)
+    want = conv3x3_phase_folded(jax.nn.relu(fields), p2c, kgb, bgb, 4)
+    got = conv3x3_phase_folded(jax.nn.relu(fields), p2c, kgb, bgb, 4,
+                               int8=True)
+    assert _rel(want, got) < 0.05
+
+
 def test_phase_folded_effective_taps_factor4():
     """Factor 4 merges the degenerate mid phases: 3 distinct classes per
     axis (the MAC-cut precondition)."""

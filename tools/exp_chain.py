@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from ubench import scan_slope_time
+from ubench import probe_timeout, scan_slope_time
 
 B = 16
 DT = jnp.bfloat16
@@ -43,28 +43,27 @@ def probes():
     # ---- swap module: 7 adaptive blocks + 6 packed res3d ----
     sw_i8 = SwapModule(dataclasses.replace(CANONICAL.swap, int8_conv=True))
     sw_fc = SwapModule(dataclasses.replace(CANONICAL.swap, fused_chain=True))
+    sw_ks = SwapModule(dataclasses.replace(
+        CANONICAL.swap, fused_chain=True, chain_ksplit=True))
     vol = jax.random.normal(k, (B, 16, 64, 64, 32), DT)
     lat = jax.random.normal(jax.random.fold_in(k, 1), (B, 512), DT)
     with jax.default_device(cpu):
         swp = sw_i8.init(jax.random.fold_in(k, 2),
                          jnp.zeros((1, 16, 64, 64, 32)), jnp.zeros((1, 512)))
     swp = jax.device_put(_cast(swp, DT), dev)
-    yield "swap_fused_chain", (
-        lambda v, l: sw_fc.apply(swp, v, l), (vol, lat))
-    yield "swap_int8_blocks", (
-        lambda v, l: sw_i8.apply(swp, v, l), (vol, lat))
 
     # ---- SPADE decoder: 6 fused middle blocks vs int8 per-block ----
     sp_i8 = SPADEDecoder(dataclasses.replace(CANONICAL.spade, int8_conv=True))
     sp_fc = SPADEDecoder(dataclasses.replace(
         CANONICAL.spade, int8_conv=True, fused_chain=True))
+    sp_ks = SPADEDecoder(dataclasses.replace(
+        CANONICAL.spade, int8_conv=True, fused_chain=True,
+        chain_ksplit=True))
     feat = jax.random.normal(jax.random.fold_in(k, 3), (B, 64, 64, 256), DT)
     with jax.default_device(cpu):
         spp = sp_i8.init(jax.random.fold_in(k, 4),
                          jnp.zeros((1, 64, 64, 256)))
     spp = jax.device_put(_cast(spp, DT), dev)
-    yield "spade_fused_chain", (lambda f: sp_fc.apply(spp, f), (feat,))
-    yield "spade_int8_blocks", (lambda f: sp_i8.apply(spp, f), (feat,))
 
     # ---- phase-folded up_1 gamma/beta (exact) on top of int8 / bf16 ----
     sp_pf8 = SPADEDecoder(dataclasses.replace(
@@ -72,9 +71,53 @@ def probes():
     sp_pf = SPADEDecoder(dataclasses.replace(
         CANONICAL.spade, phase_fold=True))
     sp_bf = SPADEDecoder(CANONICAL.spade)
+
+    # ---- appearance / refine packed-3D chains ----
+    from canonswap_tpu.models.appearance import AppearanceFeatureExtractor
+    from canonswap_tpu.models.refine import RefineModule
+
+    ap_i8 = AppearanceFeatureExtractor(dataclasses.replace(
+        CANONICAL.appearance, int8_conv=True))
+    ap_fc = AppearanceFeatureExtractor(dataclasses.replace(
+        CANONICAL.appearance, fused_chain=True))
+    img = jax.random.uniform(jax.random.fold_in(k, 5), (B, 256, 256, 3), DT)
+    with jax.default_device(cpu):
+        app = ap_i8.init(jax.random.fold_in(k, 6),
+                         jnp.zeros((1, 256, 256, 3)), train=False)
+    app = jax.device_put(_cast(app, DT), dev)
+
+    rf_i8 = RefineModule(int8=True)
+    rf_fc = RefineModule(fused_chain=True)
+    vol2 = jax.random.normal(jax.random.fold_in(k, 8),
+                             (B, 16, 64, 64, 32), DT)
+    with jax.default_device(cpu):
+        rfp = rf_i8.init(jax.random.fold_in(k, 7),
+                         jnp.zeros((1, 16, 64, 64, 32)), train=False)
+    rfp = jax.device_put(_cast(rfp, DT), dev)
+
+    # XLA-only probes FIRST (bank the baselines before any Pallas chain
+    # probe can wedge the relay)
+    yield "swap_int8_blocks", (
+        lambda v, l: sw_i8.apply(swp, v, l), (vol, lat))
+    yield "spade_int8_blocks", (lambda f: sp_i8.apply(spp, f), (feat,))
+    yield "spade_bf16", (lambda f: sp_bf.apply(spp, f), (feat,))
     yield "spade_int8_phasefold", (lambda f: sp_pf8.apply(spp, f), (feat,))
     yield "spade_phasefold", (lambda f: sp_pf.apply(spp, f), (feat,))
-    yield "spade_bf16", (lambda f: sp_bf.apply(spp, f), (feat,))
+    # Pallas chain probes (full body, then the half-body k-split fallback)
+    yield "swap_fused_chain", (
+        lambda v, l: sw_fc.apply(swp, v, l), (vol, lat))
+    yield "spade_fused_chain", (lambda f: sp_fc.apply(spp, f), (feat,))
+    yield "swap_fused_chain_ks", (
+        lambda v, l: sw_ks.apply(swp, v, l), (vol, lat))
+    yield "spade_fused_chain_ks", (lambda f: sp_ks.apply(spp, f), (feat,))
+    yield "appearance_int8", (
+        lambda im: ap_i8.apply(app, im, train=False), (img,))
+    yield "appearance_fused_chain", (
+        lambda im: ap_fc.apply(app, im, train=False), (img,))
+    yield "refine_int8", (
+        lambda v: rf_i8.apply(rfp, v, train=False), (vol2,))
+    yield "refine_fused_chain", (
+        lambda v: rf_fc.apply(rfp, v, train=False), (vol2,))
 
 
 def main():
@@ -84,10 +127,12 @@ def main():
         if want and name not in want:
             continue
         try:
-            sec = scan_slope_time(fn, inputs)
+            with probe_timeout(int(os.environ.get(
+                    "CANONSWAP_PROBE_TIMEOUT", "900"))):
+                sec = scan_slope_time(fn, inputs)
             rec = {"stage": name, "ms_per_step": round(sec * 1000, 2),
                    "batch": B}
-        except Exception as e:  # noqa: BLE001 — record and continue
+        except BaseException as e:  # noqa: BLE001 — record and continue
             rec = {"stage": name, "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")

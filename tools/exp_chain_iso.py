@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from ubench import scan_slope_time
+from ubench import probe_timeout, scan_slope_time
 
 B = 16
 H = W = 64
@@ -95,7 +95,9 @@ def main():
         if want and name not in want:
             continue
         try:
-            sec = fn()
+            with probe_timeout(int(os.environ.get(
+                    "CANONSWAP_PROBE_TIMEOUT", "900"))):
+                sec = fn()
             rec = {"stage": name, "ms_per_step": round(sec * 1000, 2),
                    "batch": B}
         except Exception as e:  # noqa: BLE001 — record and continue

@@ -8,6 +8,8 @@ bench.py, packaged for arbitrary functions.
 
 from __future__ import annotations
 
+import contextlib
+import signal
 import time
 
 import jax
@@ -68,6 +70,29 @@ def scan_slope_time(fn, inputs, n_long: int = 4, n_short: int = 1,
     ts = min(t(run_short) for _ in range(reps))
     tl = min(t(run_long) for _ in range(reps))
     return (tl - ts) / (n_long - n_short)
+
+
+class ProbeTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def probe_timeout(seconds: int):
+    """SIGALRM-based per-probe timeout so ONE hung remote compile records
+    an error and the harness moves on (a blocked socket read in the relay
+    client is interruptible; a wedged relay then fails the later probes
+    fast, which is the record we want)."""
+
+    def _raise(signum, frame):
+        raise ProbeTimeout(f"probe exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def cast_tree(tree, dtype):
