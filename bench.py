@@ -141,6 +141,39 @@ def main():
         # costs more HBM traffic than the halved conv saves).
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
     )
+    # opt-in extras for the measurement campaign (comma list):
+    #   phasefold    — exact segmap-res up_1 gamma/beta (SpadeConfig)
+    #   fusedchain   — Pallas VMEM chains: swap adaptive+res3d, refine,
+    #                  SPADE middles (ops/pallas/chain{,3d}.py)
+    #   fusedchain3d — appearance res3d chain
+    #   ksplit       — half-body grid form of the fused chains
+    # Kept OUT of the default bundle until each has a recorded on-chip win.
+    extras = [e for e in os.environ.get(
+        "CANONSWAP_FAST_EXTRAS", "").split(",") if e]
+    if "phasefold" in extras:
+        fast_cfg = dataclasses.replace(
+            fast_cfg,
+            spade=dataclasses.replace(fast_cfg.spade, phase_fold=True))
+    if "fusedchain" in extras:
+        fast_cfg = dataclasses.replace(
+            fast_cfg,
+            swap=dataclasses.replace(fast_cfg.swap, fused_chain=True),
+            spade=dataclasses.replace(fast_cfg.spade, fused_chain=True))
+    if "fusedchain3d" in extras:
+        fast_cfg = dataclasses.replace(
+            fast_cfg,
+            appearance=dataclasses.replace(fast_cfg.appearance,
+                                           fused_chain=True))
+    if "ksplit" in extras:
+        fast_cfg = dataclasses.replace(
+            fast_cfg,
+            swap=dataclasses.replace(fast_cfg.swap, chain_ksplit=True),
+            spade=dataclasses.replace(fast_cfg.spade, chain_ksplit=True))
+    if "dm4" in extras:
+        fast_cfg = dataclasses.replace(
+            fast_cfg,
+            warping=dataclasses.replace(fast_cfg.warping,
+                                        dense_motion_scale=4))
     core_fast = C.CanonSwapCore(fast_cfg)
     # per-lever variants for quality attribution (int8-only / half-res-only)
     int8_cfg = dataclasses.replace(
@@ -271,9 +304,22 @@ def main():
         # case for dense_motion_scale — an untrained hourglass emits
         # high-frequency noise, while trained deformation fields are smooth
         # by construction.  int8-only is weight-agnostic and tight.
-        for tag, which in (("fast", core_fast),
-                           ("int8only", C.CanonSwapCore(int8_cfg)),
-                           ("halfres", C.CanonSwapCore(halfres_cfg))):
+        variants = [("fast", core_fast),
+                    ("int8only", C.CanonSwapCore(int8_cfg)),
+                    ("halfres", C.CanonSwapCore(halfres_cfg)),
+                    # exact reformulation — relerr here proves wiring, not
+                    # quality loss
+                    ("phasefold", C.CanonSwapCore(dataclasses.replace(
+                        exact_cfg,
+                        spade=dataclasses.replace(exact_cfg.spade,
+                                                  phase_fold=True)))),
+                    # quarter-res dense motion: the next rung of the
+                    # halfres lever (fields are smooth when trained)
+                    ("quarterres", C.CanonSwapCore(dataclasses.replace(
+                        exact_cfg,
+                        warping=dataclasses.replace(
+                            exact_cfg.warping, dense_motion_scale=4))))]
+        for tag, which in variants:
             vb, ob = _probe(which, ctx["params"], probe, ctx["sid"],
                             x_t, x_can)
             vb = np.asarray(vb, np.float32)
@@ -310,6 +356,8 @@ def main():
     extra.update(quality)
     extra["batch"] = batch
     extra["dtype"] = dtype.__name__
+    if extras:
+        extra["fast_extras"] = ",".join(extras)
     print(
         json.dumps(
             {
