@@ -33,9 +33,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# fast/slow split: `pytest -m "not slow"` is the commit gate (~6 min on this
-# single-core host with a warm /tmp compile cache); the full suite (including
-# torch-oracle parity and e2e media pipelines) takes ~10+ minutes.
+# fast/slow split: `pytest -m "not slow"` is the commit gate (measured 11 min
+# on this single-core host with a warm /tmp compile cache, 2026-08-18); the
+# full suite (torch-oracle parity + e2e media pipelines) is ~25-30 min.
+# Budgets re-measured each round — if the gate outgrows ~12 min, move the
+# slowest modules into SLOW_MODULES rather than letting the claim drift.
 # ---------------------------------------------------------------------------
 SLOW_MODULES = {
     "test_pipeline_e2e",
