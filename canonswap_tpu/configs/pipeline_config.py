@@ -104,9 +104,11 @@ class InferenceConfig:
     # trilinear warp backend: auto = Pallas one-hot kernel on TPU
     # (int8 variant under flag_int8), XLA packed gather elsewhere
     warp_impl: str = "auto"
-    # fused VMEM-resident W8A8 Pallas chains for the SPADE middle blocks and
-    # the swap module's adaptive blocks (ops/pallas/chain.py); "auto" turns
-    # them on with flag_int8 on TPU, "on"/"off" force
+    # fused VMEM-resident W8A8 Pallas chains (ops/pallas/chain{,3d}.py) for
+    # the swap adaptive blocks, SPADE middle blocks, and packed 3D resblock
+    # stacks.  "auto" currently resolves to OFF (the kernels await an
+    # on-chip win record — see pipelines/session.py); "on" forces them,
+    # "off" disables.
     fused_chain: str = "auto"
     # compute the up_1 SPADE gamma/beta convs at segmap resolution over the
     # actv phase fields (exact reformulation, ops/resize.py)

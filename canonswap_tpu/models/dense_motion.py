@@ -21,7 +21,7 @@ from flax import linen as nn
 from canonswap_tpu.configs.model_config import DenseMotionConfig
 from canonswap_tpu.nn.blocks import Hourglass
 from canonswap_tpu.ops.grid_sample import grid_sample_3d_ref
-from canonswap_tpu.ops.heatmap import kp2gaussian, make_coordinate_grid_3d
+from canonswap_tpu.ops.heatmap import make_coordinate_grid_3d
 from canonswap_tpu.ops.resize import avg_pool, volume_to_2d
 
 
@@ -126,6 +126,9 @@ def build_hourglass_input(
     grid = make_coordinate_grid_3d((d, h, w), dt)  # (D,H,W,3)
 
     def gauss(kp):
+        # ops.heatmap.kp2gaussian's math in a kp-axis-LAST layout (the
+        # shared helper emits (B, K, D, H, W), which would force a
+        # transpose of this tiny-channel tensor right before the concat)
         diff = grid[None, :, :, :, None, :] - kp[:, None, None, None, :, :]
         return jnp.exp(-0.5 * jnp.sum(diff * diff, -1) / kp_variance)
 

@@ -40,13 +40,15 @@ class RefineModule(nn.Module):
         c = volume.shape[-1]
         d = volume.shape[1]
         fused = self.fused_chain and not train
+        # int8 is inference-only: round/clip gradients are zero a.e.
+        q = self.int8 and not train
         x = pack_hw2(volume)
         if fused:
             x = self._gn_chain(x, c, [f"res3d_in_{i}" for i in range(3)])
         else:
             for i in range(3):
                 x = ResBlock3dLeakGN(c, name=f"res3d_in_{i}", packed=True,
-                                     int8=self.int8)(x)
+                                     int8=q)(x)
         x = volume_to_2d(unpack_hw2(x))
         for i in range(3):
             x = ResBlock2d(name=f"res2d_{i}", int8=self.int8)(x, train)
@@ -56,5 +58,5 @@ class RefineModule(nn.Module):
         else:
             for i in range(3):
                 x = ResBlock3dLeakGN(c, name=f"res3d_out_{i}", packed=True,
-                                     int8=self.int8)(x)
+                                     int8=q)(x)
         return unpack_hw2(x)

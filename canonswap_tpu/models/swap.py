@@ -130,7 +130,7 @@ class SwapModule(nn.Module):
         x = volume_to_2d(volume)  # (B, H, W, C*D)
         cd = x.shape[-1]
         masks = []
-        if self.cfg.fused_chain and not return_mask:
+        if self.cfg.fused_chain and not return_mask and not train:
             from canonswap_tpu.ops.pallas.chain import (
                 adaptive_chain, adaptive_chain_params)
 

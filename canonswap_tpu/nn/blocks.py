@@ -254,14 +254,14 @@ class ResBlock3d(nn.Module):
                 return m(h.reshape(*h.shape[:-1], 4, c)).reshape(h.shape)
             return m(h)
 
+        # int8 is inference-only: round/clip gradients are zero a.e.
+        q = self.int8 and not train
         h = bn(x, "BatchNorm_0")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_0", packed_io=self.packed,
-                   int8=self.int8)(h)
+        h = Conv3D(c, k, name="Conv_0", packed_io=self.packed, int8=q)(h)
         h = bn(h, "BatchNorm_1")
         h = nn.relu(h)
-        h = Conv3D(c, k, name="Conv_1", packed_io=self.packed,
-                   int8=self.int8)(h)
+        h = Conv3D(c, k, name="Conv_1", packed_io=self.packed, int8=q)(h)
         return x + h
 
 

@@ -172,4 +172,10 @@ def qconv2d_pallas(
         h % c or (c + 2 * ph) > h or c * w * cout * 8 > (4 << 20)
     ):
         c -= 1
+    if (c + 2 * ph) > h:
+        # the fixed-size halo fetch (chunk + 2*ph rows clamped into the
+        # image) needs h >= chunk + 2*ph; tiny images can't satisfy it
+        raise ValueError(
+            f"qconv2d_pallas needs h >= 1 + 2*(kh//2) rows (h={h}, kh="
+            f"{kernel.shape[0]}); use conv2d_w8a8 for small images")
     return _run(x, inv, scale, bias3, kq, c, x.dtype, interpret)

@@ -289,25 +289,18 @@ def grid_sample_3d_onehot(
     sample lands within a 32-row x 4-z-slice window of its own output
     position — true for the bounded, smooth deformation fields dense
     motion emits — an 8x-smaller windowed matmul runs instead of the full
-    table; a device-side bounds check falls back to the full (and still
-    exact) kernel otherwise, so the result never changes, only the speed.
+    table; a device-side bounds check falls back to the full kernel
+    otherwise.  At ``quant=False`` both branches compute the same exact
+    result.  At ``quant=True`` only the full-table FALLBACK quantizes
+    (the windowed branch stays bf16 — it is both faster and more accurate
+    than the quantized full table, so quantizing it would be a strict
+    loss); the branches then differ by int8 rounding on out-of-range
+    frames only.
     """
     b, d, h, w, c = vol.shape
     out_shape = grid.shape[:-1]
     # z-packed slab: (B, H*W, D*C), built with one transpose (bandwidth)
     slab = vol.transpose(0, 2, 3, 1, 4).reshape(b, h * w, d * c)
-    if quant:
-        sxq = (
-            jnp.max(jnp.abs(slab.astype(jnp.float32)), axis=(1, 2)) / 127.0
-            + 1e-12
-        )  # (B,)
-        sscale = sxq[:, None, None]
-        slab_full = jnp.clip(
-            jnp.round(slab.astype(jnp.float32) / sscale), -127, 127
-        ).astype(jnp.int8)
-    else:
-        sscale = jnp.ones((b, 1, 1), jnp.float32)
-        slab_full = slab
     g = grid.reshape(b, -1, 3).astype(jnp.float32)
     ptot = g.shape[1]
     pb = min(pblk, ptot)
@@ -316,6 +309,21 @@ def grid_sample_3d_onehot(
     gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
 
     def run_full(_):
+        # quantize INSIDE the branch: when the windowed fast path is taken
+        # (the common case for in-range fields) the full-slab abs-max +
+        # round/clip is never executed (lax.cond runs one branch)
+        if quant:
+            sxq = (
+                jnp.max(jnp.abs(slab.astype(jnp.float32)), axis=(1, 2))
+                / 127.0 + 1e-12
+            )  # (B,)
+            sscale = sxq[:, None, None]
+            slab_full = jnp.clip(
+                jnp.round(slab.astype(jnp.float32) / sscale), -127, 127
+            ).astype(jnp.int8)
+        else:
+            sscale = jnp.ones((b, 1, 1), jnp.float32)
+            slab_full = slab
         return _run(gx, gy, gz, slab_full, sscale, h, w, c, pb,
                     quant, vol.dtype, interpret)
 

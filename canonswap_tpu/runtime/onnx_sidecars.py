@@ -111,8 +111,12 @@ class OnnxLandmark203Runner:
             M_c2o = np.diag([scale, scale, 1.0]).astype(np.float32)
         blob = (crop.astype(np.float32) / 255.0)[None]
         outs = self._run(_nchw(blob))
-        # landmark.onnx emits the 203x2 points as its first (or only) output
-        pred = np.asarray(outs[0]).reshape(-1, 2) * self.input_size
+        # the real LivePortrait landmark.onnx emits several heads; the
+        # 203x2 points are output index 2 (reference
+        # human_landmark_runner.py:79 out_lst[2]); single-output graphs
+        # (synthetic fixtures) keep index 0
+        pred = outs[2] if len(outs) >= 3 else outs[0]
+        pred = np.asarray(pred).reshape(-1, 2) * self.input_size
         return G.transform_pts(pred, M_c2o)
 
 

@@ -138,11 +138,6 @@ def stages():
     ref_i8 = RefineModule(int8=True)
     yield "refine_int8", (
         lambda p, v: ref_i8.apply(p["refine"], v), (params, vol))
-    swap3d_i8 = SwapModule(_dc.replace(cfg.swap, int8_conv=True))
-    yield "swap_module_int8b", (
-        lambda p, v, i: swap3d_i8.apply(p["transfer"], v, i),
-        (params, vol, sid),
-    )
     yield "refine", (
         lambda p, v: core.refine.apply(p["refine"], v), (params, vol))
     yield "spade", (
