@@ -112,12 +112,22 @@ class FaceSwapSession:
                 model_cfg,
                 spade=_dc.replace(model_cfg.spade, phase_fold=True),
             )
-        # warp backend: "auto" = the Pallas one-hot kernel on TPU (int8
-        # variant under flag_int8), the XLA packed gather elsewhere
+        multi_chip = mesh is not None and mesh.size > 1
+        if use_fc and multi_chip:
+            raise ValueError(
+                "fused_chain='on' is single-chip only: pallas_call does not"
+                " auto-partition under a >1-device mesh (wrap via shard_map"
+                " before enabling — tracked for round 4). Use"
+                " fused_chain='off' with a mesh.")
+        # warp backend: "auto" = the Pallas one-hot kernel on a SINGLE TPU
+        # chip (int8 variant under flag_int8), the XLA packed gather
+        # elsewhere.  Under a >1-device mesh "auto" stays on the packed
+        # XLA gather — it partitions over the data axis like any other
+        # XLA op, while a pallas_call would need a shard_map wrapper.
         warp_impl = str(
             getattr(self.inference_cfg, "warp_impl", "auto") or "auto")
         if warp_impl == "auto":
-            if jax.default_backend() in ("tpu", "axon"):
+            if jax.default_backend() in ("tpu", "axon") and not multi_chip:
                 warp_impl = (
                     "pallas_quant"
                     if getattr(self.inference_cfg, "flag_int8", False)
