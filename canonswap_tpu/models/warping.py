@@ -47,9 +47,12 @@ class WarpingNetwork(nn.Module):
         # kernel on TPU (ops/pallas/warp.py; int8 variant = fast bundle)
         impl = self.cfg.warp_impl
         if impl in ("pallas", "pallas_quant"):
-            from canonswap_tpu.ops.pallas.warp import grid_sample_3d_onehot
+            # the custom-partitioned wrapper shards the batch axis under a
+            # mesh (per-sample gather) and is a pass-through single-chip
+            from canonswap_tpu.ops.pallas.warp import (
+                grid_sample_3d_onehot_sharded)
 
-            warped = grid_sample_3d_onehot(
+            warped = grid_sample_3d_onehot_sharded(
                 feature_3d, dense["deformation"], pblk=256,
                 quant=impl == "pallas_quant",
             )

@@ -309,12 +309,20 @@ def spade_chain(x, actv, prep, *, interpret=False, ksplit=False):
     mlp_shared outputs); prep: output of spade_chain_params.
     ``ksplit`` runs the half-body grid form (identical math).
     """
+    from canonswap_tpu.ops.pallas.spmd import batch_partitioned
+
     n, h, w, c = x.shape
     nb = prep[0].shape[0]
     if ksplit:
-        return _spade_run_ks(x, actv, *prep, interpret=interpret)
-    actv5 = actv.reshape(n, nb, 2 * h, w, 128)
-    return _spade_run(x, actv5, *prep, interpret=interpret)
+        def fn(xx, aa, *pp):
+            return _spade_run_ks(xx, aa, *pp, interpret=interpret)
+    else:
+        def fn(xx, aa, *pp):
+            return _spade_run(xx, aa.reshape(xx.shape[0], nb, 2 * h, w, 128),
+                              *pp, interpret=interpret)
+    wrapped = batch_partitioned(
+        fn, (True, True) + (False,) * len(prep), x.ndim)
+    return wrapped(x, actv, *prep)
 
 
 def spade_chain_ref(x, actv, blocks):
@@ -579,9 +587,17 @@ def adaptive_chain_params(blocks, latents_style):
 def adaptive_chain(x, prep, *, interpret=False, ksplit=False):
     """Fused adaptive chain. x: (N, H, W, C) bf16.
     ``ksplit`` runs the half-body grid form (identical math)."""
-    if ksplit:
-        return _adaptive_run_ks(x, *prep, interpret=interpret)
-    return _adaptive_run(x, *prep, interpret=interpret)
+    from canonswap_tpu.ops.pallas.spmd import batch_partitioned
+
+    run = _adaptive_run_ks if ksplit else _adaptive_run
+
+    def fn(xx, st, dm, *pp):
+        return run(xx, st, dm, *pp, interpret=interpret)
+
+    # style/demod are per-sample (batched); kq/sw/ba are weights
+    wrapped = batch_partitioned(
+        fn, (True, True, True) + (False,) * (len(prep) - 2), x.ndim)
+    return wrapped(x, *prep)
 
 
 def adaptive_chain_ref(x, blocks, latents_style):

@@ -203,7 +203,13 @@ def res3d_bn_chain(xp, prep, *, interpret=False):
 
     xp: (N, D, H/2, W/2, 4C) bf16; prep: res3d_bn_chain_params output.
     """
-    return _bn_run(xp, *prep, interpret=interpret)
+    from canonswap_tpu.ops.pallas.spmd import batch_partitioned
+
+    def fn(xx, *pp):
+        return _bn_run(xx, *pp, interpret=interpret)
+
+    return batch_partitioned(
+        fn, (True,) + (False,) * len(prep), xp.ndim)(xp, *prep)
 
 
 def res3d_bn_chain_ref(xp, blocks, eps=1e-5):
@@ -377,8 +383,14 @@ def res3d_gn_chain(xp, prep, *, groups, eps=1e-5, slope=0.01,
                    interpret=False):
     """Fused post-act GroupNorm-leak resblock chain (identity shortcut)
     on a pack_hw2 volume.  xp: (N, D, H/2, W/2, 4C) bf16."""
-    return _gn_run(xp, *prep, groups=groups, eps=eps, slope=slope,
-                   interpret=interpret)
+    from canonswap_tpu.ops.pallas.spmd import batch_partitioned
+
+    def fn(xx, *pp):
+        return _gn_run(xx, *pp, groups=groups, eps=eps, slope=slope,
+                       interpret=interpret)
+
+    return batch_partitioned(
+        fn, (True,) + (False,) * len(prep), xp.ndim)(xp, *prep)
 
 
 def res3d_gn_chain_ref(xp, blocks, groups, eps=1e-5, slope=0.01):

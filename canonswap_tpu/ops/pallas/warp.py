@@ -269,6 +269,59 @@ def _window_fits(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
     )
 
 
+def grid_sample_3d_onehot_sharded(
+    vol: jax.Array,
+    grid: jax.Array,
+    *,
+    pblk: int = 512,
+    quant: bool = False,
+    window: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`grid_sample_3d_onehot` wrapped for SPMD: a pallas_call has no
+    automatic partitioning rule, so under a jit with sharded inputs this
+    registers a custom-partitioned op that shards the BATCH axis (each
+    device runs the kernel on its local shard — the per-sample gather
+    never crosses samples) and replicates every other dim.  GSPMD inserts
+    the reshard if the operands arrive sharded any other way."""
+    import functools as _ft
+
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inner = _ft.partial(grid_sample_3d_onehot, pblk=pblk, quant=quant,
+                        window=window, interpret=interpret)
+
+    def _batch_spec(mesh, arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+            b = spec[0] if len(spec) else None
+        except (AttributeError, IndexError):
+            b = None
+        return NamedSharding(mesh, P(b, None, None, None, None))
+
+    cp = custom_partitioning(lambda v, g: inner(v, g))
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_spec(mesh, arg_shapes)
+
+    def partition(mesh, arg_shapes, result_shape):
+        s = _batch_spec(mesh, arg_shapes)
+        return mesh, (lambda v, g: inner(v, g)), s, (s, s)
+
+    # Shardy drives propagation from the einsum-like rule (batch factor
+    # passes through; every other factor must be replicated — the kernel
+    # gathers across the whole volume); the GSPMD callbacks keep the op
+    # working under the legacy partitioner.
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b d h w c, b d h w t -> b d h w c",
+        need_replication_factors=("d", "h", "w", "c", "t"),
+    )
+    return cp(vol, grid)
+
+
 def grid_sample_3d_onehot(
     vol: jax.Array,
     grid: jax.Array,

@@ -112,22 +112,18 @@ class FaceSwapSession:
                 model_cfg,
                 spade=_dc.replace(model_cfg.spade, phase_fold=True),
             )
-        multi_chip = mesh is not None and mesh.size > 1
-        if use_fc and multi_chip:
-            raise ValueError(
-                "fused_chain='on' is single-chip only: pallas_call does not"
-                " auto-partition under a >1-device mesh (wrap via shard_map"
-                " before enabling — tracked for round 4). Use"
-                " fused_chain='off' with a mesh.")
-        # warp backend: "auto" = the Pallas one-hot kernel on a SINGLE TPU
-        # chip (int8 variant under flag_int8), the XLA packed gather
-        # elsewhere.  Under a >1-device mesh "auto" stays on the packed
-        # XLA gather — it partitions over the data axis like any other
-        # XLA op, while a pallas_call would need a shard_map wrapper.
+        # Pallas kernels partition over the batch axis under a mesh via
+        # the custom_partitioning wrappers (ops/pallas/spmd.py), so both
+        # the fused chains and the Pallas warp compose with multi-chip.
+        # warp backend: "auto" = the Pallas one-hot kernel on TPU (int8
+        # variant under flag_int8), the XLA packed gather elsewhere.  The
+        # kernel partitions over the batch axis under a mesh via
+        # custom_partitioning (ops/pallas/warp.py::
+        # grid_sample_3d_onehot_sharded), so multi-chip keeps it too.
         warp_impl = str(
             getattr(self.inference_cfg, "warp_impl", "auto") or "auto")
         if warp_impl == "auto":
-            if jax.default_backend() in ("tpu", "axon") and not multi_chip:
+            if jax.default_backend() in ("tpu", "axon"):
                 warp_impl = (
                     "pallas_quant"
                     if getattr(self.inference_cfg, "flag_int8", False)
