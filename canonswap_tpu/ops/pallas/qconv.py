@@ -178,4 +178,12 @@ def qconv2d_pallas(
         raise ValueError(
             f"qconv2d_pallas needs h >= 1 + 2*(kh//2) rows (h={h}, kh="
             f"{kernel.shape[0]}); use conv2d_w8a8 for small images")
-    return _run(x, inv, scale, bias3, kq, c, x.dtype, interpret)
+    from canonswap_tpu.ops.pallas.spmd import batch_partitioned
+
+    def fn(xx, iv, sc, bb, kk):
+        return _run(xx, iv, sc, bb, kk, c, x.dtype, interpret)
+
+    # x/inv/scale carry the sample axis; bias/kernel are replicated
+    return batch_partitioned(
+        fn, (True, True, True, False, False), x.ndim)(
+        x, inv, scale, bias3, kq)

@@ -75,6 +75,23 @@ def test_adaptive_chain_sharded_matches_single_device():
         out.astype(jnp.float32) - ref.astype(jnp.float32)))) == 0.0
 
 
+def test_qconv_pallas_sharded_matches_single_device():
+    from canonswap_tpu.ops.pallas.qconv import qconv2d_pallas
+
+    n, h, w, cin, cout = 8, 16, 16, 128, 128
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (n, h, w, cin), jnp.bfloat16)
+    kern = 0.05 * jax.random.normal(k2, (3, 3, cin, cout), jnp.bfloat16)
+    ref = qconv2d_pallas(x, kern, interpret=True)
+
+    xsh = NamedSharding(_mesh(), P("data"))
+    out = jax.jit(
+        lambda xx, kk: qconv2d_pallas(xx, kk, interpret=True),
+        out_shardings=xsh)(jax.device_put(x, xsh), kern)
+    assert float(jnp.max(jnp.abs(
+        out.astype(jnp.float32) - ref.astype(jnp.float32)))) == 0.0
+
+
 def test_res3d_bn_chain_sharded_matches_single_device():
     from canonswap_tpu.ops.pallas.chain3d import (
         res3d_bn_chain, res3d_bn_chain_params)
