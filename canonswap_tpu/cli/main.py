@@ -1,7 +1,11 @@
 """CLI entry points mirroring the reference's two scripts.
 
-``canonswap_tpu.cli.main swap``  == inference_canswap.py (video face swap)
-``canonswap_tpu.cli.main v2i``   == inference_v2i.py (motion drives image)
+``canonswap_tpu.cli.main swap``   == inference_canswap.py (video face swap)
+``canonswap_tpu.cli.main v2i``    == inference_v2i.py (motion drives image)
+``canonswap_tpu.cli.main multi``  == multi-face variant of swap
+    (pipelines/swap_multi.py; per-face tracked crops, shared parse pass)
+``canonswap_tpu.cli.main stream`` == 3-stage threaded streaming pipeline
+    (pipelines/streaming.py; decode / device compute / encode overlap)
 
 Flags mirror ArgumentConfig with the reference's -s/-t/-o aliases
 (inference_canswap.py:36, argument_config.py:16-18).  argparse is used
@@ -27,7 +31,7 @@ from canonswap_tpu.configs.pipeline_config import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="canonswap-tpu")
     sub = p.add_subparsers(dest="mode", required=True)
-    for mode in ("swap", "v2i"):
+    for mode in ("swap", "v2i", "multi", "stream"):
         sp = sub.add_parser(mode)
         sp.add_argument("-s", "--source", required=True,
                         help="source portrait (identity)")
@@ -75,10 +79,18 @@ def main(argv=None):
         from canonswap_tpu.pipelines import swap_e2e
 
         swap_e2e.execute(session, args)
-    else:
+    elif ns.mode == "v2i":
         from canonswap_tpu.pipelines import swap_v2i
 
         swap_v2i.execute(session, args)
+    elif ns.mode == "multi":
+        from canonswap_tpu.pipelines import swap_multi
+
+        swap_multi.execute(session, args)
+    else:
+        from canonswap_tpu.pipelines import streaming
+
+        streaming.execute(session, args)
 
 
 if __name__ == "__main__":

@@ -207,18 +207,18 @@ def _spade_kernel_ks(
                   h, w, 128, c)
     bacc = _conv9(qa, kgb_ref, lambda dy, dx: kgb_ref[0, dy * 3 + dx, :, c:],
                   h, w, 128, c)
-    gamma = (gacc.astype(jnp.float32) * (sa * sgb_ref[0, :c])
-             + bgb_ref[0, :c]).reshape(h, w, c)
-    beta = (bacc.astype(jnp.float32) * (sa * sgb_ref[0, c:])
-            + bgb_ref[0, c:]).reshape(h, w, c)
+    gamma = (gacc.astype(jnp.float32) * (sa * sgb_ref[0, 0, :c])
+             + bgb_ref[0, 0, :c]).reshape(h, w, c)
+    beta = (bacc.astype(jnp.float32) * (sa * sgb_ref[0, 0, c:])
+            + bgb_ref[0, 0, c:]).reshape(h, w, c)
     t = base * (1.0 + gamma) + beta
     t = jnp.where(t >= 0, t, _LEAK * t)
     qt, st = _quant_act(t)
     qt = _pad_hw(qt)
     acc = _conv9(qt, kcv_ref, lambda dy, dx: kcv_ref[0, dy * 3 + dx],
                  h, w, c, c)
-    hnew = (acc.astype(jnp.float32) * (st * scv_ref[0])
-            + bcv_ref[0]).reshape(h, w, c)
+    hnew = (acc.astype(jnp.float32) * (st * scv_ref[0, 0])
+            + bcv_ref[0, 0]).reshape(h, w, c)
 
     @pl.when(k == 0)
     def _stash():
@@ -243,10 +243,13 @@ def _spade_run_ks(x, actv, kgb, sgb, bgb, kcv, scv, bcv, interpret=False):
     actv6 = actv.reshape(n, nb * 2, h, w, 128)
     kgb2 = kgb.reshape(nb * 2, 9, 128, 2 * c)
     kcv2 = kcv.reshape(nb * 2, 9, c, c)
-    sgb2 = sgb.reshape(nb * 2, 2 * c)
-    bgb2 = bgb.reshape(nb * 2, 2 * c)
-    scv2 = scv.reshape(nb * 2, c)
-    bcv2 = bcv.reshape(nb * 2, c)
+    # scale/bias vectors carry a singleton middle dim: Mosaic requires the
+    # block's last two dims be (8,128)-divisible OR equal the array dims —
+    # (1, 2c) on a (nb*2, 2c) array fails, (1, 1, 2c) on (nb*2, 1, 2c) is ok
+    sgb2 = sgb.reshape(nb * 2, 1, 2 * c)
+    bgb2 = bgb.reshape(nb * 2, 1, 2 * c)
+    scv2 = scv.reshape(nb * 2, 1, c)
+    bcv2 = bcv.reshape(nb * 2, 1, c)
     return pl.pallas_call(
         kern,
         grid=(n, nb, 2),
@@ -255,12 +258,12 @@ def _spade_run_ks(x, actv, kgb, sgb, bgb, kcv, scv, bcv, interpret=False):
                          lambda i, j, k: (i, j * 2 + k, 0, 0, 0)),
             pl.BlockSpec((1, 9, 128, 2 * c),
                          lambda i, j, k: (j * 2 + k, 0, 0, 0)),
-            pl.BlockSpec((1, 2 * c), lambda i, j, k: (j * 2 + k, 0)),
-            pl.BlockSpec((1, 2 * c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, 1, 2 * c), lambda i, j, k: (j * 2 + k, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * c), lambda i, j, k: (j * 2 + k, 0, 0)),
             pl.BlockSpec((1, 9, c, c),
                          lambda i, j, k: (j * 2 + k, 0, 0, 0)),
-            pl.BlockSpec((1, c), lambda i, j, k: (j * 2 + k, 0)),
-            pl.BlockSpec((1, c), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (j * 2 + k, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (j * 2 + k, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -483,7 +486,7 @@ def _adaptive_kernel_ks(
 
     hcur = jnp.where(k == 0, xs[:].astype(jnp.float32), hs[:])
     qs, ss = _quant_act(hcur)
-    qm, sm = _quant_act(hcur * style_ref[0, 0])
+    qm, sm = _quant_act(hcur * style_ref[0, 0, 0])
     qs = _pad_hw(qs)
     qm = _pad_hw(qm)
     acc_s = _conv9(qs, kq_ref, lambda dy, dx: kq_ref[0, dy * 3 + dx, :, :c],
@@ -492,13 +495,13 @@ def _adaptive_kernel_ks(
                    h, w, c, 128)
     acc_m = _conv9(qm, kq_ref, lambda dy, dx: kq_ref[0, dy * 3 + dx, :, :c],
                    h, w, c, c)
-    y_std = acc_s.astype(jnp.float32) * (ss * sw_ref[0, :c])
-    mlog = (acc_k[:, 0:1].astype(jnp.float32) * (ss * sw_ref[0, c])
-            + ba_ref[0, c])
+    y_std = acc_s.astype(jnp.float32) * (ss * sw_ref[0, 0, :c])
+    mlog = (acc_k[:, 0:1].astype(jnp.float32) * (ss * sw_ref[0, 0, c])
+            + ba_ref[0, 0, c])
     mask = jax.nn.sigmoid(mlog)
     y_mod = (acc_m.astype(jnp.float32)
-             * (sm * sw_ref[0, :c] * demod_ref[0, 0])
-             + ba_ref[0, :c])
+             * (sm * sw_ref[0, 0, :c] * demod_ref[0, 0, 0])
+             + ba_ref[0, 0, :c])
     y = mask * y_mod + (1.0 - mask) * y_std
     y = jnp.where(k == 0, jnp.maximum(y, 0.0), y)
     hnew = y.reshape(h, w, c)
@@ -523,21 +526,23 @@ def _adaptive_run_ks(x, style, demod, kq, sw, ba, interpret=False):
     n, h, w, c = x.shape
     nb = kq.shape[0]
     kern = functools.partial(_adaptive_kernel_ks, h=h, w=w, c=c, nb=nb)
-    style2 = style.reshape(n, nb * 2, c)
-    demod2 = demod.reshape(n, nb * 2, c)
+    # singleton middle dims keep the block's last-two dims equal to the
+    # array dims (Mosaic lowering rule — see _spade_run_ks)
+    style2 = style.reshape(n, nb * 2, 1, c)
+    demod2 = demod.reshape(n, nb * 2, 1, c)
     kq2 = kq.reshape(nb * 2, 9, c, c + 128)
-    sw2 = sw.reshape(nb * 2, c + 128)
-    ba2 = ba.reshape(nb * 2, c + 128)
+    sw2 = sw.reshape(nb * 2, 1, c + 128)
+    ba2 = ba.reshape(nb * 2, 1, c + 128)
     return pl.pallas_call(
         kern,
         grid=(n, nb, 2),
         in_specs=[
-            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, j * 2 + k, 0)),
-            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, j * 2 + k, 0)),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j, k: (i, j * 2 + k, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j, k: (i, j * 2 + k, 0, 0)),
             pl.BlockSpec((1, 9, c, c + 128),
                          lambda i, j, k: (j * 2 + k, 0, 0, 0)),
-            pl.BlockSpec((1, c + 128), lambda i, j, k: (j * 2 + k, 0)),
-            pl.BlockSpec((1, c + 128), lambda i, j, k: (j * 2 + k, 0)),
+            pl.BlockSpec((1, 1, c + 128), lambda i, j, k: (j * 2 + k, 0, 0)),
+            pl.BlockSpec((1, 1, c + 128), lambda i, j, k: (j * 2 + k, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

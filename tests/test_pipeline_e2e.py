@@ -211,3 +211,56 @@ def test_relative_motion_flag_rejected():
             ),
             landmark_widths=(8, 12, 16, 24),
         )
+
+
+def test_swap_multi_two_faces(session, media, tmp_path, monkeypatch):
+    """Multi-face pipeline: two tracked faces, per-face crop/swap/paste into
+    the SAME canvas, one encoded video (pipelines/swap_multi.py; reference
+    multi-face loop inference_canswap.py's sort_by_direction + per-face
+    swap).  Detection is stubbed with two synthetic faces — random-weight
+    SCRFD on noise frames detects nothing, and the detector has its own
+    parity tests; this test owns tracking/batching/paste-back."""
+    from canonswap_tpu.pipelines import swap_multi
+    from canonswap_tpu.runtime.face_analysis import Face
+
+    def fake_get(img, **kw):
+        h, w = img.shape[:2]
+        faces = []
+        for cx, cy in ((w * 0.3, h * 0.5), (w * 0.7, h * 0.5)):
+            r = min(h, w) * 0.18
+            gx, gy = np.meshgrid(np.linspace(-r, r, 11)[:10],
+                                 np.linspace(-r, r, 11)[:10])
+            lmk = np.stack([cx + gx.ravel(), cy + gy.ravel()], -1)[:106]
+            lmk = np.concatenate(
+                [lmk, np.tile(lmk[-1:], (106 - len(lmk), 1))])
+            faces.append(Face(
+                bbox=np.array([cx - r, cy - r, cx + r, cy + r], np.float32),
+                kps=lmk[:5].astype(np.float32), det_score=0.9,
+                landmark_2d_106=lmk.astype(np.float32),
+            ))
+        return faces[: kw.get("max_face_num", 4)]
+
+    monkeypatch.setattr(session.face_analysis, "get", fake_get)
+    args = ArgumentConfig(
+        source=str(media / "source.png"), driving=str(media / "drv.mp4"),
+        output_dir=str(tmp_path / "out_multi"),
+    )
+    wfp = swap_multi.execute(session, args)
+    assert osp.exists(wfp) and os.path.getsize(wfp) > 0
+    cap = cv2.VideoCapture(wfp)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+
+
+def test_cli_parser_all_modes():
+    """All four product surfaces are reachable from the CLI (swap/v2i from
+    the reference's two scripts; multi/stream are this framework's
+    additions)."""
+    from canonswap_tpu.cli.main import build_parser
+
+    p = build_parser()
+    for mode in ("swap", "v2i", "multi", "stream"):
+        ns = p.parse_args([mode, "-s", "a.png", "-t", "b.mp4", "-o", "out"])
+        assert ns.mode == mode and ns.source == "a.png"
