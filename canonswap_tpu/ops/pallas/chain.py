@@ -187,6 +187,15 @@ def _spade_kernel_ks(
     instead of 54), for remote compilers that stall on the full body.
     ``hs`` (f32 scratch) carries hcur between the two subs of a block;
     math and op order are identical to the fused form.
+
+    Block shapes differ from _spade_kernel: the (block, sub) pair is
+    flattened into one leading dim, so per-program refs carry singleton
+    leading dims and HALF the fused kernel's payload —
+      actv_ref: (1, 1, h, w, 128) (one relu(mlp_shared) map, not two)
+      kgb_ref:  (1, 9, 128, 2c); kcv_ref: (1, 9, c, c)
+      sgb_ref/bgb_ref: (1, 1, 2c); scv_ref/bcv_ref: (1, 1, c) — the extra
+      singleton middle dim keeps the last-two block dims equal to the
+      array dims (Mosaic (8,128)-divisibility rule; see _spade_run_ks).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -473,7 +482,14 @@ def _adaptive_kernel_ks(
     x_hbm, out_hbm, xs, hs, sem_in, sem_out, *, h, w, c, nb,
 ):
     """k-split form of :func:`_adaptive_kernel` (one conv trio per program;
-    see _spade_kernel_ks for the rationale)."""
+    see _spade_kernel_ks for the rationale).
+
+    Block shapes differ from _adaptive_kernel: the (block, conv) pair is
+    flattened into one leading dim, so per-program refs carry ONE conv's
+    slice with singleton-dim padding for the Mosaic last-two-dims rule —
+      style_ref/demod_ref: (1, 1, 1, c) (one modulation vector)
+      kq_ref: (1, 9, c, c+128); sw_ref/ba_ref: (1, 1, c+128).
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)

@@ -250,9 +250,10 @@ def _axis_ok(s, origin, size, win):
     return (~need0 | in_win0) & (~need1 | in_win1)
 
 
-def _window_fits(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
-    """True iff the windowed kernel is exact for this deformation: every
-    needed tap of every sample lies inside its block's slab window."""
+def _window_fits_per_sample(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
+    """(B,) bool: per SAMPLE, every needed tap of every point lies inside
+    its block's slab window — i.e. the windowed kernel would be exact for
+    that sample alone."""
     del sx  # x is never windowed — full width is always resident
     rows = jnp.arange(h, dtype=jnp.float32)
     oy_per_row = jnp.clip(
@@ -265,8 +266,47 @@ def _window_fits(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
     ).astype(jnp.float32)
     oz = jnp.repeat(oz_per_z, h * w)[None, :]
     return jnp.all(
-        _axis_ok(sy, oy, h, win_r) & _axis_ok(sz, oz, d, win_z)
+        _axis_ok(sy, oy, h, win_r) & _axis_ok(sz, oz, d, win_z), axis=1
     )
+
+
+def _window_fits(sx, sy, sz, d, h, w, win_r, win_z, zsnap, rpb):
+    """True iff the windowed kernel is exact for this deformation: every
+    needed tap of every sample lies inside its block's slab window."""
+    return jnp.all(
+        _window_fits_per_sample(sx, sy, sz, d, h, w, win_r, win_z, zsnap,
+                                rpb))
+
+
+def window_geometry(d: int, h: int, w: int, c: int):
+    """The windowed kernel's geometry for a (D, H, W, C) volume —
+    (rpb, win_r, zsnap, win_z), matching grid_sample_3d_onehot."""
+    import math
+
+    rpb = 8 if h % 8 == 0 else 1
+    win_r = min(32, h)
+    zsnap = 128 // math.gcd(c, 128)
+    win_z = min(d, 3 * zsnap)
+    return rpb, win_r, zsnap, win_z
+
+
+def window_fit_fraction(vol_shape, grid: jax.Array) -> jax.Array:
+    """Observability hook: fraction of samples in ``grid`` (B, D, H, W, 3)
+    for which the windowed fast path of :func:`grid_sample_3d_onehot`
+    would be taken, for a volume of ``vol_shape`` (B, D, H, W, C).
+
+    The kernel itself dispatches per BATCH (one out-of-window sample sends
+    the whole batch to the full-table fallback), so real throughput sits
+    between the windowed and full-table numbers depending on this rate —
+    report it next to any headline fps (VERDICT r3 weak #3)."""
+    b, d, h, w, c = vol_shape
+    rpb, win_r, zsnap, win_z = window_geometry(d, h, w, c)
+    g = grid.reshape(grid.shape[0], -1, 3).astype(jnp.float32)
+    fits = _window_fits_per_sample(
+        _unnormalize(g[..., 0], w), _unnormalize(g[..., 1], h),
+        _unnormalize(g[..., 2], d), d, h, w, win_r, win_z, zsnap, rpb,
+    )
+    return jnp.mean(fits.astype(jnp.float32))
 
 
 def grid_sample_3d_onehot_sharded(

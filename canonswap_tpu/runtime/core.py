@@ -33,6 +33,35 @@ from canonswap_tpu.ops.pose import transform_keypoint
 Params = Any
 
 
+def pallas_free_twin(cfg: CanonSwapModelConfig) -> CanonSwapModelConfig:
+    """A param-tree-identical twin of ``cfg`` with every Pallas-lowering
+    lever disabled (warp_impl=packed, int8 convs off, fused chains off).
+
+    All of these levers are implementation-only — they never change the
+    parameter tree (see the per-field notes in configs/model_config.py) —
+    so ``init`` on the twin yields the exact tree of the original config.
+    Needed because flax ``init`` *executes* the forward: running it on a
+    backend where ``pallas_call`` cannot lower (e.g. under
+    ``jax.default_device(cpu)`` while the default backend is TPU) raises
+    "Only interpret mode is supported on CPU backend" — the BENCH_r03
+    rc=1 regression."""
+    return dataclasses.replace(
+        cfg,
+        appearance=dataclasses.replace(
+            cfg.appearance, int8_conv=False, fused_chain=False),
+        warping=dataclasses.replace(
+            cfg.warping, warp_impl="packed",
+            dense_motion=dataclasses.replace(
+                cfg.warping.dense_motion, int8_conv=False)),
+        spade=dataclasses.replace(
+            cfg.spade, int8_conv=False, fused_chain=False,
+            chain_ksplit=False),
+        swap=dataclasses.replace(
+            cfg.swap, int8_conv=False, fused_chain=False,
+            chain_ksplit=False),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class CanonSwapCore:
     """Bundle of module definitions (hashable; safe as a jit static arg)."""
@@ -104,6 +133,13 @@ class CanonSwapCore:
             "transfer": self.swap.init(keys[4], vol, latent),
             "refine": self.refine.init(keys[5], vol),
         }
+
+    def init_params_host(self, rng: jax.Array) -> Params:
+        """``init_params`` via a Pallas-free twin config — safe to run on
+        any device/backend (flax init executes the forward, and Pallas
+        kernels only lower on TPU).  Returns the identical parameter tree
+        with identical values (same rng, same modules-with-params)."""
+        return CanonSwapCore(pallas_free_twin(self.cfg)).init_params(rng)
 
 
 # ---------------------------------------------------------------------------
