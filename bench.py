@@ -169,11 +169,6 @@ def main():
             fast_cfg,
             swap=dataclasses.replace(fast_cfg.swap, chain_ksplit=True),
             spade=dataclasses.replace(fast_cfg.spade, chain_ksplit=True))
-    if "dm4" in extras:
-        fast_cfg = dataclasses.replace(
-            fast_cfg,
-            warping=dataclasses.replace(fast_cfg.warping,
-                                        dense_motion_scale=4))
     core_fast = C.CanonSwapCore(fast_cfg)
     # per-lever variants for quality attribution (int8-only / half-res-only)
     int8_cfg = dataclasses.replace(
@@ -358,13 +353,9 @@ def main():
                     ("phasefold", C.CanonSwapCore(dataclasses.replace(
                         exact_cfg,
                         spade=dataclasses.replace(exact_cfg.spade,
-                                                  phase_fold=True)))),
-                    # quarter-res dense motion: the next rung of the
-                    # halfres lever (fields are smooth when trained)
-                    ("quarterres", C.CanonSwapCore(dataclasses.replace(
-                        exact_cfg,
-                        warping=dataclasses.replace(
-                            exact_cfg.warping, dense_motion_scale=4))))]
+                                                  phase_fold=True))))]
+        # NO quarter-res variant: dense_motion_scale=4 leaves a 16^2 field,
+        # too small for the 5-block hourglass (DenseMotionNetwork raises)
         for tag, which in variants:
             vb, ob = _probe(which, ctx["params"], probe, ctx["sid"],
                             x_t, x_can)
@@ -408,6 +399,12 @@ def main():
     else:
         head_key, headline = next(iter(results.items()))
     extra = {k: round(v, 2) for k, v in results.items()}
+    if "e2e" in results and "core_generator" in results:
+        # landmark+parsing sidecar cost per frame, from the slope difference
+        # (e2e = generator + sidecars; core = generator alone)
+        extra["sidecars_ms_per_frame"] = round(
+            (1.0 / results["e2e"] - 1.0 / results["core_generator"]) * 1000,
+            2)
     extra.update(quality)
     extra["batch"] = batch
     extra["dtype"] = dtype.__name__

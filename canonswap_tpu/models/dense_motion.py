@@ -175,6 +175,15 @@ class DenseMotionNetwork(nn.Module):
 
         fs = self.field_scale
         hs, ws = h // fs, w // fs
+        if min(hs, ws) < 2 ** self.cfg.num_blocks:
+            # the hourglass halves in-plane resolution num_blocks times; a
+            # smaller field would pool a 1x1 level to 0x0 (found as a shape
+            # crash in the r3 bench's quarter-res probe at CANONICAL:
+            # 64/4=16 < 2^5)
+            raise ValueError(
+                f"field_scale={fs} leaves a {hs}x{ws} field, too small for "
+                f"a {self.cfg.num_blocks}-block hourglass (needs >= "
+                f"{2 ** self.cfg.num_blocks})")
         if fs > 1:
             x = avg_pool(x, (1, fs, fs))
 

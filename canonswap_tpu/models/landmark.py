@@ -6,12 +6,25 @@ The reference runs both as opaque ONNX sessions:
   - landmark.onnx (LivePortrait 203-pt, 224x224, human_landmark_runner.py:60-85)
     decode: pred in [0,1] -> * 224 -> M_c2o to image.
 
-Here they are native flax models (light residual trunks + regression head).
+Here they are native flax models (residual trunks + regression head).
 The exact ONNX weights import via runtime/onnx_import.py when the user
-supplies the files; random-weight instances keep the full pipeline runnable
-and trainable.  The *geometry* around them (crop construction, de-normalize,
+supplies the files (and runtime/onnx_exec.py executes ANY real file's graph
+directly); random-weight instances keep the full pipeline runnable and
+trainable.  The *geometry* around them (crop construction, de-normalize,
 inverse transform, frame-to-frame tracking) matches the reference exactly —
 that is what determines pipeline behaviour.
+
+Benchmark-cost honesty (the trunks are stand-ins, not the 2d106det /
+landmark.onnx graphs): at the default widths the trunks measure 3.13 M
+params / 3.31 GFLOPs per 224^2 frame (203-pt) and 3.03 M params /
+2.42 GFLOPs per 192^2 frame (106-pt) — compiled-HLO cost_analysis, 2026-08.
+The public insightface files they stand in for are MobileNet-class
+(2d106det.onnx is ~5 MB ~= 1.3 M fp32 params; LivePortrait's landmark.onnx
+is the same lineage), i.e. WELL UNDER 1 GFLOP/frame.  The benchmarked
+landmark stage is therefore heavier than the real one — headline e2e fps is
+conservative w.r.t. landmark cost, not optimistic.  bench.py also reports
+the whole sidecar stage (landmark + parsing) as ``sidecars_ms_per_frame``
+derived from its e2e-vs-core slope difference.
 """
 
 from __future__ import annotations
@@ -32,15 +45,20 @@ class _TrunkBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
+        # explicit (1,1) padding: flax SAME pads (0,1) under stride 2,
+        # torch/ONNX producers pad (1,1) — must match for imported weights
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         import math
 
         groups = math.gcd(self.features, 16)
-        h = nn.GroupNorm(num_groups=groups)(h)
+        # epsilon 1e-5: the torch/ONNX GroupNorm convention — imported
+        # weights from torch-exported files assume it (flax defaults 1e-6,
+        # which diverges visibly on low-variance activations)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(h)
-        h = nn.GroupNorm(num_groups=groups)(h)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(h)
         if self.stride != 1 or residual.shape[-1] != self.features:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.stride,) * 2,
@@ -58,7 +76,8 @@ class LandmarkNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.widths[0], (3, 3), strides=(2, 2), padding="SAME")(x)
+        h = nn.Conv(self.widths[0], (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)))(x)  # torch pad convention
         h = nn.relu(h)
         for i, w in enumerate(self.widths):
             h = _TrunkBlock(w, stride=2 if i > 0 else 1, name=f"block{i}")(h)

@@ -259,18 +259,21 @@ def assign_onnx_weights(
             slot.kind == "conv"
             and op.kind == "conv"
             and "bias" not in slot.shapes
-            and "bias" in op.arrays
             and si + 1 < len(slots)
             and slots[si + 1].kind == "bn"
             and not (oi + 1 < len(ops) and ops[oi + 1].kind == "bn")
         ):
+            # the folded bias may itself have been optimized away when zero
+            # (torch exporter's constant folding does this inconsistently) —
+            # synthesize a zero bias then
             _set(params, slot.path, "kernel", op.arrays["kernel"])
             bn_slot = slots[si + 1]
-            c = op.arrays["bias"].shape[0]
+            c = np.asarray(op.arrays["kernel"]).shape[-1]
+            bias = op.arrays.get("bias", np.zeros((c,), np.float32))
             eps = 1e-5  # every BatchNorm in this repo uses epsilon=1e-5
             _set(params, bn_slot.path, "scale",
                  np.full((c,), np.sqrt(1.0 + eps), np.float32))
-            _set(params, bn_slot.path, "bias", op.arrays["bias"])
+            _set(params, bn_slot.path, "bias", bias)
             _set(stats, bn_slot.path, "mean", np.zeros((c,), np.float32))
             _set(stats, bn_slot.path, "var", np.ones((c,), np.float32))
             fused_bn_paths.append(bn_slot.path)

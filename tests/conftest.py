@@ -50,6 +50,7 @@ SLOW_MODULES = {
     "test_video_and_weights",
     "test_canonical_parity",
     "test_convert_rehearsal",
+    "test_onnx_realistic",
 }
 
 

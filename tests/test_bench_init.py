@@ -108,5 +108,19 @@ def test_bench_config_builders_import_and_init():
     assert jax.tree.structure(params) == jax.tree.structure(ref)
 
 
-if __name__ == "__main__":
-    pytest.main([__file__, "-q"])
+def test_dense_motion_rejects_too_small_field():
+    """dense_motion_scale must fail fast (clear ValueError) when the scaled
+    field is too small for the hourglass — not crash with a 0-dim concat
+    deep inside the decoder (the r4 bench quarter-res probe regression)."""
+    import jax.numpy as jnp
+
+    from canonswap_tpu.models.dense_motion import DenseMotionNetwork
+
+    m = DenseMotionNetwork(num_kp=21, field_scale=4)  # 64/4=16 < 2^5
+    feat = jax.ShapeDtypeStruct((1, 16, 64, 64, 32), jnp.float32)
+    kp = jax.ShapeDtypeStruct((1, 21, 3), jnp.float32)
+    with pytest.raises(ValueError, match="field_scale"):
+        jax.eval_shape(m.init, jax.random.PRNGKey(0), feat, kp, kp)
+    # scale 2 (the sanctioned fast-bundle lever) still passes
+    m2 = DenseMotionNetwork(num_kp=21, field_scale=2)
+    jax.eval_shape(m2.init, jax.random.PRNGKey(0), feat, kp, kp)

@@ -90,7 +90,7 @@ def probes():
 
 def main():
     want = sys.argv[1:]
-    out = open(os.path.join(os.path.dirname(__file__), "profile_r3.jsonl"), "a")
+    out = open(os.path.join(os.path.dirname(__file__), os.environ.get("CANONSWAP_PROFILE_LOG", "profile_r4.jsonl")), "a")
     for name, fn in probes():
         if want and name not in want:
             continue

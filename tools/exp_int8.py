@@ -85,7 +85,7 @@ def probes():
 def main():
     only = set(sys.argv[1:])
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "profile_r3.jsonl")
+                            os.environ.get("CANONSWAP_PROFILE_LOG", "profile_r4.jsonl"))
     with open(out_path, "a") as fh:
         for name, (fn, inputs) in probes():
             if only and name not in only:

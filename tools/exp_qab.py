@@ -74,7 +74,7 @@ def main():
         "e2e_fast_inrange": (e2e_fb, (params, frames, sid, m_syn)),
     }
 
-    out = open(os.path.join(os.path.dirname(__file__), "profile_r3.jsonl"),
+    out = open(os.path.join(os.path.dirname(__file__), os.environ.get("CANONSWAP_PROFILE_LOG", "profile_r4.jsonl")),
                "a")
     want = sys.argv[1:] or list(probes)
     for name in want:

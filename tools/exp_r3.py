@@ -248,7 +248,7 @@ def w_series():
 def main():
     only = set(sys.argv[1:])
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "profile_r3.jsonl")
+                            os.environ.get("CANONSWAP_PROFILE_LOG", "profile_r4.jsonl"))
     gens = (m_series(), g_series(), w_series())
     with open(out_path, "a") as fh:
         for gen in gens:
