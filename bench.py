@@ -26,7 +26,15 @@ Env knobs:
   CANONSWAP_BENCH_DTYPE  bf16 (default) | f32
   CANONSWAP_BENCH_N      long scan length (default 4; short = 1). Long
                          single programs can trip the TPU watchdog; keep <= 8.
-  CANONSWAP_BENCH_ONLY   comma list of {e2e, core, multiface} (default all)
+  CANONSWAP_BENCH_ONLY   comma list of {e2e, fast, core, quality, multiface}
+                         (default all, run in that order)
+  CANONSWAP_BENCH_BUDGET_S  soft time budget (default 1500): sections that
+                         would START after this are skipped.  The cumulative
+                         JSON line is re-emitted after EVERY section, so an
+                         external kill still leaves a complete record of all
+                         finished sections on stdout.
+  CANONSWAP_BENCH_QUALITY  'full' adds per-lever quality variants
+                         (int8only/halfres/phasefold) — a compile each
 """
 
 from __future__ import annotations
@@ -113,7 +121,8 @@ def main():
     batch = int(os.environ.get("CANONSWAP_BENCH_BATCH", "16"))
     n_long = int(os.environ.get("CANONSWAP_BENCH_N", "4"))
     only = os.environ.get(
-        "CANONSWAP_BENCH_ONLY", "e2e,fast,core,multiface").split(",")
+        "CANONSWAP_BENCH_ONLY",
+        "e2e,fast,core,quality,multiface").split(",")
 
     # warp backend: Pallas one-hot MXU kernel on TPU (exact bf16 form for
     # the exact path, W8A8 form in the fast bundle); packed gather on CPU
@@ -257,12 +266,27 @@ def main():
     results = {}
     quality = {}
     errors = {}
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("CANONSWAP_BENCH_BUDGET_S", "1500"))
+
+    def emit():
+        """Print the cumulative result line NOW.  The driver takes the last
+        JSON line on stdout — emitting after every section means a timeout
+        mid-run still leaves a complete record of everything finished so
+        far (BENCH_r03 shipped rc=1 with nothing; never again)."""
+        if results:
+            print(_render(results, quality, errors, batch, dtype, extras),
+                  flush=True)
 
     def section(name, fn):
         """Run one benchmark section; a failure must never zero the whole
         artifact (BENCH_r03 shipped rc=1 and round 3 lost its official
         number) — record the error and keep going."""
         if name not in only:
+            return
+        spent = time.perf_counter() - t_start
+        if spent > budget_s:
+            errors[name] = f"skipped: bench budget exhausted ({spent:.0f}s)"
             return
         try:
             fn()
@@ -271,6 +295,7 @@ def main():
 
             traceback.print_exc()
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        emit()
 
     def _core():
         print("# core_generator", file=sys.stderr)
@@ -284,12 +309,23 @@ def main():
             frames, ctx, batch, n_long)
 
     def _fast():
+        # fps first, quality probes in their own later section (_quality):
+        # if the run is killed on a budget, the fps number is already
+        # emitted.
+        print("# e2e_fast (half-res dense motion + int8 hot convs)",
+              file=sys.stderr)
+        results["e2e_fast"] = slope_fps(
+            lambda f, c: generator_chk(f, c, which_core=core_fast)
+            + sidecars_chk(f, c),
+            frames, ctx, batch, n_long)
+
+    def _quality():
         # fast-vs-exact quality gate on identical weights.  Random CANONICAL
         # weights produce out-of-range keypoints (|x_t| > 1), which zero-pads
         # the warp and collapses the volume to zeros in BOTH paths — so the
         # probe drives the warp/swap/refine/decode chain with controlled
         # IN-RANGE synthetic motion instead of extract_motion's raw output.
-        print("# e2e_fast (half-res dense motion + int8 hot convs)",
+        print("# quality (fast-vs-exact gates + window hit rates)",
               file=sys.stderr)
         import numpy as np
 
@@ -345,15 +381,19 @@ def main():
         # case for dense_motion_scale — an untrained hourglass emits
         # high-frequency noise, while trained deformation fields are smooth
         # by construction.  int8-only is weight-agnostic and tight.
-        variants = [("fast", core_fast),
-                    ("int8only", C.CanonSwapCore(int8_cfg)),
-                    ("halfres", C.CanonSwapCore(halfres_cfg)),
-                    # exact reformulation — relerr here proves wiring, not
-                    # quality loss
-                    ("phasefold", C.CanonSwapCore(dataclasses.replace(
-                        exact_cfg,
-                        spade=dataclasses.replace(exact_cfg.spade,
-                                                  phase_fold=True))))]
+        variants = [("fast", core_fast)]
+        if os.environ.get("CANONSWAP_BENCH_QUALITY", "") == "full":
+            # per-lever attribution — a compile each; opt-in to keep the
+            # default bench inside the driver's time budget
+            variants += [
+                ("int8only", C.CanonSwapCore(int8_cfg)),
+                ("halfres", C.CanonSwapCore(halfres_cfg)),
+                # exact reformulation — relerr here proves wiring, not
+                # quality loss
+                ("phasefold", C.CanonSwapCore(dataclasses.replace(
+                    exact_cfg,
+                    spade=dataclasses.replace(exact_cfg.spade,
+                                              phase_fold=True))))]
         # NO quarter-res variant: dense_motion_scale=4 leaves a 16^2 field,
         # too small for the 5-block hourglass (DenseMotionNetwork raises)
         for tag, which in variants:
@@ -367,11 +407,6 @@ def main():
             quality[f"{tag}_ssim_vs_exact"] = round(
                 float(np.mean([ssim(a[i], b[i], data_range=1.0)
                                for i in range(a.shape[0])])), 4)
-        results["e2e_fast"] = slope_fps(
-            lambda f, c: generator_chk(f, c, which_core=core_fast)
-            + sidecars_chk(f, c),
-            frames, ctx, batch, n_long)
-
     def _multiface():
         print("# multiface (2 faces/frame, e2e)", file=sys.stderr)
         results["multiface_2"] = slope_fps(
@@ -384,14 +419,21 @@ def main():
             + sidecars_chk(f, c),
             frames, ctx, batch, n_long)
 
-    section("core", _core)
+    # order = importance under a time budget: the exact headline backup
+    # first, then the fast headline, then sub-metrics, quality gates,
+    # multiface last
     section("e2e", _e2e)
     section("fast", _fast)
+    section("core", _core)
+    section("quality", _quality)
     section("multiface", _multiface)
     if not results:
         raise SystemExit(
             f"every benchmark section failed: {errors}")
+    emit()
 
+
+def _render(results, quality, errors, batch, dtype, extras) -> str:
     for key in ("e2e_fast", "e2e"):
         if key in results:
             head_key, headline = key, results[key]
@@ -411,17 +453,15 @@ def main():
     if extras:
         extra["fast_extras"] = ",".join(extras)
     if errors:
-        extra["errors"] = errors
-    print(
-        json.dumps(
-            {
-                "metric": f"swapped_512p_frames_per_sec_per_chip({head_key})",
-                "value": round(headline, 2),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(headline / 60.0, 3),
-                "extra": extra,
-            }
-        )
+        extra["errors"] = dict(errors)
+    return json.dumps(
+        {
+            "metric": f"swapped_512p_frames_per_sec_per_chip({head_key})",
+            "value": round(headline, 2),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(headline / 60.0, 3),
+            "extra": extra,
+        }
     )
 
 
