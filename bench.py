@@ -34,7 +34,7 @@ Env knobs:
                          external kill still leaves a complete record of all
                          finished sections on stdout.
   CANONSWAP_BENCH_QUALITY  'full' adds per-lever quality variants
-                         (int8only/halfres/phasefold) — a compile each
+                         (int8only/halfres) — a compile each
 """
 
 from __future__ import annotations
@@ -150,34 +150,12 @@ def main():
         # costs more HBM traffic than the halved conv saves).
         spade=dataclasses.replace(CANONICAL.spade, int8_conv=True),
     )
-    # opt-in extras for the measurement campaign (comma list):
-    #   phasefold    — exact segmap-res up_1 gamma/beta (SpadeConfig)
-    #   fusedchain   — Pallas VMEM chains: swap adaptive+res3d, refine,
-    #                  SPADE middles (ops/pallas/chain{,3d}.py)
-    #   fusedchain3d — appearance res3d chain
-    #   ksplit       — half-body grid form of the fused chains
-    # Kept OUT of the default bundle until each has a recorded on-chip win.
-    extras = [e for e in os.environ.get(
-        "CANONSWAP_FAST_EXTRAS", "").split(",") if e]
-    if "phasefold" in extras:
-        fast_cfg = dataclasses.replace(
-            fast_cfg,
-            spade=dataclasses.replace(fast_cfg.spade, phase_fold=True))
-    if "fusedchain" in extras:
-        fast_cfg = dataclasses.replace(
-            fast_cfg,
-            swap=dataclasses.replace(fast_cfg.swap, fused_chain=True),
-            spade=dataclasses.replace(fast_cfg.spade, fused_chain=True))
-    if "fusedchain3d" in extras:
-        fast_cfg = dataclasses.replace(
-            fast_cfg,
-            appearance=dataclasses.replace(fast_cfg.appearance,
-                                           fused_chain=True))
-    if "ksplit" in extras:
-        fast_cfg = dataclasses.replace(
-            fast_cfg,
-            swap=dataclasses.replace(fast_cfg.swap, chain_ksplit=True),
-            spade=dataclasses.replace(fast_cfg.spade, chain_ksplit=True))
+    # NOTE: round-4 campaign retired the speculative extras — fused VMEM
+    # chains and the phase-folded up_1 both REGRESSED on-chip vs the
+    # per-block int8 path (tools/profile_r4.jsonl: spade_fused_chain 90.7
+    # vs spade_int8_blocks 76.7 ms; spade_phasefold 111.9 vs spade_bf16
+    # 91.5) and their code was removed.
+    extras = []
     core_fast = C.CanonSwapCore(fast_cfg)
     # per-lever variants for quality attribution (int8-only / half-res-only)
     int8_cfg = dataclasses.replace(
@@ -390,13 +368,7 @@ def main():
             # default bench inside the driver's time budget
             variants += [
                 ("int8only", C.CanonSwapCore(int8_cfg)),
-                ("halfres", C.CanonSwapCore(halfres_cfg)),
-                # exact reformulation — relerr here proves wiring, not
-                # quality loss
-                ("phasefold", C.CanonSwapCore(dataclasses.replace(
-                    exact_cfg,
-                    spade=dataclasses.replace(exact_cfg.spade,
-                                              phase_fold=True))))]
+                ("halfres", C.CanonSwapCore(halfres_cfg))]
         # NO quarter-res variant: dense_motion_scale=4 leaves a 16^2 field,
         # too small for the 5-block hourglass (DenseMotionNetwork raises)
         for tag, which in variants:

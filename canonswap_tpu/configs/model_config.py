@@ -20,9 +20,6 @@ class AppearanceConfig:
     reshape_depth: int = 16
     num_resblocks: int = 6
     int8_conv: bool = False  # W8A8 packed volume chain (flag_int8)
-    # run the packed res3d chain as ONE VMEM-resident fused W8A8 Pallas
-    # kernel (ops/pallas/chain3d.py); same param tree
-    fused_chain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,19 +79,10 @@ class SpadeConfig:
     # output resolution and bilinearly upsamples (nn/blocks.py::SPADE;
     # the modulations only carry segmap-resolution content). Exact at 1.
     norm_scale: int = 1
-    # run the six G_middle blocks as ONE VMEM-resident fused W8A8 Pallas
-    # kernel (ops/pallas/chain.py) — activations never round-trip HBM
-    # between blocks.  Same param tree; W8A8 quantization quality matches
-    # int8_conv.  Ignored (falls back to the per-block path) off-TPU
-    # unless interpreting.
-    fused_chain: bool = False
-    # half-body grid form of the fused chain (ops/pallas/chain.py ksplit)
-    chain_ksplit: bool = False
-    # compute the up_1 (factor-4) SPADE gamma/beta convs at segmap
-    # resolution over the distinct actv phase fields (exact — see
-    # ops/resize.py::conv3x3_phase_folded; ~31% fewer MACs on the decode
-    # floor and no full-res actv materialization)
-    phase_fold: bool = False
+    # NOTE: fused VMEM chain kernels and an exact phase-folded up_1 form
+    # were built and measured in rounds 3-4 (tools/profile_r4.jsonl):
+    # both REGRESSED vs the per-block int8 path at CANONICAL shapes
+    # (chain 90.7 vs 76.7 ms; phase-fold 111.9 vs 91.5) and were removed.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,12 +91,6 @@ class SwapConfig:
     n_blocks: int = 7  # adaptive 2D blocks (transfer_model2)
     n_resblocks_3d: int = 6
     int8_conv: bool = False  # W8A8 adaptive convs (see SpadeConfig.int8_conv)
-    # run the seven adaptive 2D blocks as ONE VMEM-resident fused W8A8
-    # Pallas kernel (ops/pallas/chain.py); same param tree as the
-    # per-block path.
-    fused_chain: bool = False
-    # half-body grid form of the fused chain (ops/pallas/chain.py ksplit)
-    chain_ksplit: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,8 +58,6 @@ class ArgumentConfig:
     flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
     spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
     warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
-    fused_chain: str = "auto"  # auto|on|off: fused Pallas W8A8 block chains
-    spade_phase_fold: bool = False  # exact segmap-res up_1 gamma/beta convs
 
 
 @dataclasses.dataclass
@@ -104,15 +102,6 @@ class InferenceConfig:
     # trilinear warp backend: auto = Pallas one-hot kernel on TPU
     # (int8 variant under flag_int8), XLA packed gather elsewhere
     warp_impl: str = "auto"
-    # fused VMEM-resident W8A8 Pallas chains (ops/pallas/chain{,3d}.py) for
-    # the swap adaptive blocks, SPADE middle blocks, and packed 3D resblock
-    # stacks.  "auto" currently resolves to OFF (the kernels await an
-    # on-chip win record — see pipelines/session.py); "on" forces them,
-    # "off" disables.
-    fused_chain: str = "auto"
-    # compute the up_1 SPADE gamma/beta convs at segmap resolution over the
-    # actv phase fields (exact reformulation, ops/resize.py)
-    spade_phase_fold: bool = False
 
 
 @dataclasses.dataclass

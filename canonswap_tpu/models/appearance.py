@@ -39,24 +39,7 @@ class AppearanceFeatureExtractor(nn.Module):
         from canonswap_tpu.nn.conv3d import pack_hw2, unpack_hw2
 
         x = pack_hw2(x)
-        if c.fused_chain and not train:
-            # whole chain as ONE VMEM-resident W8A8 Pallas kernel
-            # (ops/pallas/chain3d.py); identical param tree
-            import jax
-
-            from canonswap_tpu.nn.blocks import _Res3dBNParams
-            from canonswap_tpu.ops.pallas.chain3d import (
-                res3d_bn_chain, res3d_bn_chain_params)
-
-            blocks = [
-                _Res3dBNParams(c.reshape_channel, name=f"res3d_{i}")()
-                for i in range(c.num_resblocks)
-            ]
-            interp = jax.default_backend() not in ("tpu", "axon")
-            x = res3d_bn_chain(x, res3d_bn_chain_params(blocks),
-                               interpret=interp)
-        else:
-            for i in range(c.num_resblocks):
-                x = ResBlock3d(name=f"res3d_{i}", packed=True,
-                               int8=c.int8_conv)(x, train)
+        for i in range(c.num_resblocks):
+            x = ResBlock3d(name=f"res3d_{i}", packed=True,
+                           int8=c.int8_conv)(x, train)
         return unpack_hw2(x)

@@ -44,95 +44,6 @@ class _Conv3x3Params(nn.Module):
         return kernel, bias
 
 
-class _BNStatsParams(nn.Module):
-    """Param-compatible stand-in for an inference ``nn.BatchNorm``
-    (params scale/bias + batch_stats mean/var); the caller applies the
-    folded affine (fused chain3d path)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.features,))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((self.features,)))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((self.features,)))
-        return s, b, mean.value, var.value
-
-
-class _Conv3dParams(nn.Module):
-    """Param-compatible stand-in for a 3x3x3 ``Conv3D`` (kernel/bias)."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, 3, self.in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
-
-
-class _Res3dBNParams(nn.Module):
-    """Param-tree stand-in for one packed ResBlock3d (BN pre-act); the
-    fused kernel (ops/pallas/chain3d.py) applies the math."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        c = self.features
-        b0 = _BNStatsParams(c, name="BatchNorm_0")()
-        k0 = _Conv3dParams(c, c, name="Conv_0")()
-        b1 = _BNStatsParams(c, name="BatchNorm_1")()
-        k1 = _Conv3dParams(c, c, name="Conv_1")()
-        return {
-            "bn_scale": jnp.stack([b0[0], b1[0]]),
-            "bn_bias": jnp.stack([b0[1], b1[1]]),
-            "bn_mean": jnp.stack([b0[2], b1[2]]),
-            "bn_var": jnp.stack([b0[3], b1[3]]),
-            "kernel": jnp.stack([k0[0], k1[0]]),
-            "bias": jnp.stack([k0[1], k1[1]]),
-        }
-
-
-class _GNParams(nn.Module):
-    """Param-compatible stand-in for ``nn.GroupNorm`` (scale/bias)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.features,))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return s, b
-
-
-class _Res3dGNParams(nn.Module):
-    """Param-tree stand-in for one packed ResBlock3dLeakGN with identity
-    shortcut (fused chain3d path)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        c = self.features
-        k0 = _Conv3dParams(c, c, name="conv1")()
-        g0 = _GNParams(c, name="gn1")()
-        k1 = _Conv3dParams(c, c, name="conv2")()
-        g1 = _GNParams(c, name="gn2")()
-        return {
-            "kernel": jnp.stack([k0[0], k1[0]]),
-            "bias": jnp.stack([k0[1], k1[1]]),
-            "gn_scale": jnp.stack([g0[0], g1[0]]),
-            "gn_bias": jnp.stack([g0[1], g1[1]]),
-        }
-
-
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm2d, affine=False (torch default) for (N, H, W, C)."""
     axes = tuple(range(1, x.ndim - 1))
@@ -406,7 +317,6 @@ class SPADE(nn.Module):
 
     int8: bool = False
     norm_scale: int = 1
-    phase_fold: bool = False
 
     @nn.compact
     def __call__(self, x, segmap, normalized=None):
@@ -421,28 +331,6 @@ class SPADE(nn.Module):
             self.norm_scale > 1 and fh == fw
             and fh % self.norm_scale == 0) else 1
         fh_eff = fh // ns
-        if self.phase_fold and fh == fw == 4 and ns == 1:
-            # gamma/beta computed AT SEGMAP RESOLUTION over the distinct
-            # phase fields of the upsampled-conv actv (exact; factor 4 has
-            # 100 effective tap pairs vs 144 and skips materializing the
-            # full-res actv — ops/resize.py::conv3x3_phase_folded).  factor
-            # 2 has no degenerate phases (no MAC cut), so it stays on the
-            # standard path.
-            from canonswap_tpu.ops.resize import (
-                conv3x3_phase_folded, nearest_upsample_conv3x3_fields)
-
-            ka, kab = _Conv3x3Params(128, segmap.shape[-1],
-                                     name="mlp_shared")()
-            kg, bg = _Conv3x3Params(c, 128, name="mlp_gamma")()
-            kb2, bb = _Conv3x3Params(c, 128, name="mlp_beta")()
-            fields, p2c = nearest_upsample_conv3x3_fields(
-                segmap, ka, kab, fh)
-            gb = conv3x3_phase_folded(
-                nn.relu(fields), p2c,
-                jnp.concatenate([kg, kb2], axis=-1),
-                jnp.concatenate([bg, bb]), fh, int8=self.int8)
-            gamma, beta = gb[..., :c], gb[..., c:]
-            return normalized * (1 + gamma) + beta
         if fh == fw and fh_eff in (1, 2, 4):
             # mlp_shared on the nearest-upsampled segmap folds to segmap
             # resolution (exact; 2.25-4x fewer MACs — ops.resize.
@@ -518,7 +406,6 @@ class SPADEResnetBlock(nn.Module):
     sn: bool = False
     int8: bool = False
     norm_scale: int = 1
-    phase_fold: bool = False
 
     def _conv(self, features, kernel, name, use_bias=True):
         if self.sn:
@@ -535,19 +422,18 @@ class SPADEResnetBlock(nn.Module):
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         ns = self.norm_scale
-        pf = self.phase_fold
         if learned_shortcut:
             xn = instance_norm(x)  # shared by norm_s and norm_0 (exact)
-            x_s = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
+            x_s = SPADE(int8=self.int8, norm_scale=ns,
                         name="norm_s")(x, seg, normalized=xn)
             x_s = self._conv(self.fout, (1, 1), "conv_s", use_bias=False)(x_s)
         else:
             xn = None
             x_s = x
-        dx = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
+        dx = SPADE(int8=self.int8, norm_scale=ns,
                    name="norm_0")(x, seg, normalized=xn)
         dx = self._conv(fmiddle, (3, 3), "conv_0")(nn.leaky_relu(dx, 0.2))
-        dx = SPADE(int8=self.int8, norm_scale=ns, phase_fold=pf,
+        dx = SPADE(int8=self.int8, norm_scale=ns,
                    name="norm_1")(dx, seg)
         dx = self._conv(self.fout, (3, 3), "conv_1")(nn.leaky_relu(dx, 0.2))
         return x_s + dx

@@ -153,6 +153,33 @@ def unpack_hw2(x: jax.Array) -> jax.Array:
     return x.reshape(b, d, hh * 2, wh * 2, c)
 
 
+def packed_to_2d(x: jax.Array) -> jax.Array:
+    """Fused ``volume_to_2d(unpack_hw2(x))``: ONE transpose instead of two.
+
+    (B, D, H/2, W/2, 4C) -> (B, H, W, C*D) with volume_to_2d's channel
+    order (flat channel k = c*D + d).  Each standalone layout shuffle on
+    the (16,16,32,32,128) volume costs ~2-4 ms/16f (tools/profile_r4.jsonl
+    refine/swap vs their sub-chain sums), so module boundaries fuse them.
+    """
+    x = jax.lax.optimization_barrier(x)  # see pack_hw2
+    b, d, hh, wh, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, d, hh, wh, 2, 2, c)
+    x = x.transpose(0, 2, 4, 3, 5, 6, 1)  # (B, Hh, py, Wh, px, C, D)
+    return x.reshape(b, hh * 2, wh * 2, c * d)
+
+
+def twod_to_packed(x: jax.Array, depth: int) -> jax.Array:
+    """Fused ``pack_hw2(volume_from_2d(x, depth))`` (inverse of
+    :func:`packed_to_2d`): (B, H, W, C*D) -> (B, D, H/2, W/2, 4C)."""
+    b, h, w, cd = x.shape
+    c = cd // depth
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c, depth)
+    x = x.transpose(0, 6, 1, 3, 2, 4, 5)  # (B, D, Hh, Wh, py, px, C)
+    return jax.lax.optimization_barrier(
+        x.reshape(b, depth, h // 2, w // 2, 4 * c))
+
+
 import functools
 import numpy as _np
 

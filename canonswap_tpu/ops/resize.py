@@ -120,132 +120,6 @@ def volume_from_2d(x: jax.Array, depth: int) -> jax.Array:
     return x.transpose(0, 4, 1, 2, 3)
 
 
-def _phase_taps(p: int, factor: int):
-    """Folded 1D tap list for output phase ``p`` of conv3x3 on a nearest-xf
-    upsample: [(source-cell offset, [kernel tap indices]), ...]."""
-    groups: dict[int, list[int]] = {}
-    for d in range(3):
-        groups.setdefault((p + d - 1) // factor, []).append(d)
-    return sorted(groups.items())
-
-
-def _phase_classes(factor: int):
-    """Distinct tap structures along one axis and the phase->class map.
-
-    Phases whose (offset, taps) structure coincide produce IDENTICAL
-    low-res fields (e.g. factor=4 phases 1 and 2), so stage-B consumers can
-    merge kernel taps that land on the same (class, offset) pair.
-    """
-    classes: list[tuple] = []
-    phase_to_class: list[int] = []
-    for p in range(factor):
-        key = tuple((o, tuple(ds)) for o, ds in _phase_taps(p, factor))
-        if key not in classes:
-            classes.append(key)
-        phase_to_class.append(classes.index(key))
-    return classes, phase_to_class
-
-
-def nearest_upsample_conv3x3_fields(
-    seg: jax.Array, kernel: jax.Array, bias: jax.Array | None, factor: int
-) -> tuple[jax.Array, list[int]]:
-    """The distinct per-phase low-res fields of
-    ``conv3x3_same(nearest_upsample(seg, (f, f)))``.
-
-    Returns ``(fields, phase_to_class)`` where fields is
-    (B, n_cls_y * n_cls_x, H, W, Cout) — field of 2D phase (py, px) is
-    ``fields[:, cls[py] * n_cls_x + cls[px]]`` — and phase_to_class is the
-    per-axis phase->class map (same for y and x).  Interleaving the fields
-    by phase reproduces :func:`conv3x3_on_nearest_upsample` exactly.
-    """
-    b, h, w, cin = seg.shape
-    classes, p2c = _phase_classes(factor)
-    segp = jnp.pad(seg, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    fields = []
-    for ty in classes:
-        for tx in classes:
-            kf = jnp.stack([
-                jnp.stack([
-                    sum(kernel[dy, dx] for dy in dys for dx in dxs)
-                    for _, dxs in tx], axis=0)
-                for _, dys in ty], axis=0)
-            oy0, ox0 = ty[0][0], tx[0][0]
-            win = segp[:, 1 + oy0 : 1 + oy0 + h + len(ty) - 1,
-                       1 + ox0 : 1 + ox0 + w + len(tx) - 1]
-            f = lax.conv_general_dilated(
-                win, kf, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            fields.append(f + bias if bias is not None else f)
-    return jnp.stack(fields, axis=1), p2c
-
-
-def conv3x3_phase_folded(
-    fields: jax.Array, phase_to_class: list[int], kernel: jax.Array,
-    bias: jax.Array | None, factor: int, int8: bool = False,
-) -> jax.Array:
-    """``conv3x3_same(interleave(fields))`` computed AT LOW RESOLUTION.
-
-    fields: (B, n_cls^2, H, W, Cin) distinct phase fields (e.g. the relu'd
-    output of :func:`nearest_upsample_conv3x3_fields`); the full-res image
-    they interleave to is never materialized.  kernel: (3, 3, Cin, Cout).
-
-    Output phase (qy, qx) at low-res cell (t, u) sums kernel taps (dy, dx)
-    against full-res positions f*t + qy + dy - 1 = f*(t + oy) + py — i.e.
-    field class(py) at offset oy.  Taps landing on the SAME (class, offset)
-    pair merge by summing their kernel slices, which is where the MAC cut
-    comes from (factor 4: 100 effective tap pairs vs 144 — phases 1 and 2
-    share a field).  Exact (same products, different add order).
-
-    Returns (B, f*H, f*W, Cout).
-    """
-    b, ncls2, h, w, cin = fields.shape
-    cout = kernel.shape[-1]
-    ncls = int(round(ncls2 ** 0.5))
-    # zero-pad the low-res fields once for the +-1 cell offsets
-    fp = jnp.pad(fields, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-
-    def axis_taps(q):
-        # merged 1D taps for output phase q: {(class, offset): [d...]}
-        m: dict[tuple[int, int], list[int]] = {}
-        for d in (-1, 0, 1):
-            o, p = divmod(q + d, factor)
-            m.setdefault((phase_to_class[p], o), []).append(d + 1)
-        return sorted(m.items())
-
-    phases = []
-    for qy in range(factor):
-        ty = axis_taps(qy)
-        for qx in range(factor):
-            tx = axis_taps(qx)
-            slabs, kers = [], []
-            for (cy, oy), dys in ty:
-                for (cx, ox), dxs in tx:
-                    slabs.append(
-                        fp[:, cy * ncls + cx, 1 + oy : 1 + oy + h,
-                           1 + ox : 1 + ox + w])
-                    kers.append(
-                        sum(kernel[dy, dx] for dy in dys for dx in dxs))
-            x = jnp.concatenate(slabs, axis=-1)  # (B, H, W, ntap*Cin)
-            kf = jnp.concatenate(kers, axis=0)   # (ntap*Cin, Cout)
-            if int8:
-                # each phase is a dense 1x1 matmul at low res — MXU-bound,
-                # the W8A8 sweet spot (quantize traffic is 1/f^2 of the
-                # full-res form)
-                from canonswap_tpu.ops.qconv import conv2d_w8a8
-
-                phases.append(conv2d_w8a8(x, kf[None, None]))
-            else:
-                # f32 accumulation to match lax.conv's bf16 behavior
-                phases.append(
-                    jnp.einsum("bhwi,io->bhwo", x, kf,
-                               preferred_element_type=jnp.float32)
-                    .astype(fields.dtype))
-    ph = jnp.stack(phases, axis=0).reshape(factor, factor, b, h, w, cout)
-    out = ph.transpose(2, 3, 0, 4, 1, 5).reshape(
-        b, factor * h, factor * w, cout)
-    return out + bias if bias is not None else out
-
-
 def conv3x3_on_nearest_upsample(
     seg: jax.Array, kernel: jax.Array, bias: jax.Array | None, factor: int
 ) -> jax.Array:

@@ -79,24 +79,6 @@ class FaceSwapSession:
                 swap=_dc.replace(model_cfg.swap, int8_conv=True),
                 spade=_dc.replace(model_cfg.spade, int8_conv=True),
             )
-        fc = str(getattr(self.inference_cfg, "fused_chain", "auto") or "auto")
-        if fc not in ("auto", "on", "off"):
-            raise ValueError(f"fused_chain must be auto|on|off, got {fc!r}")
-        # "auto" stays OFF until the chain kernels have a recorded on-chip
-        # win (tools/profile_r3.jsonl spade/adaptive_chain) — a remote-
-        # compiler stall on an unmeasured kernel must never gate the
-        # default path; "on" forces for measurement runs.
-        use_fc = fc == "on"
-        if use_fc:
-            import dataclasses as _dc
-
-            model_cfg = _dc.replace(
-                model_cfg,
-                swap=_dc.replace(model_cfg.swap, fused_chain=True),
-                spade=_dc.replace(model_cfg.spade, fused_chain=True),
-                appearance=_dc.replace(model_cfg.appearance,
-                                       fused_chain=True),
-            )
         sns = int(getattr(self.inference_cfg, "spade_norm_scale", 1))
         if sns > 1:
             import dataclasses as _dc
@@ -105,16 +87,9 @@ class FaceSwapSession:
                 model_cfg,
                 spade=_dc.replace(model_cfg.spade, norm_scale=sns),
             )
-        if getattr(self.inference_cfg, "spade_phase_fold", False):
-            import dataclasses as _dc
-
-            model_cfg = _dc.replace(
-                model_cfg,
-                spade=_dc.replace(model_cfg.spade, phase_fold=True),
-            )
         # Pallas kernels partition over the batch axis under a mesh via
-        # the custom_partitioning wrappers (ops/pallas/spmd.py), so both
-        # the fused chains and the Pallas warp compose with multi-chip.
+        # the custom_partitioning wrappers (ops/pallas/spmd.py), so the
+        # Pallas warp composes with multi-chip.
         # warp backend: "auto" = the Pallas one-hot kernel on TPU (int8
         # variant under flag_int8), the XLA packed gather elsewhere.  The
         # kernel partitions over the batch axis under a mesh via

@@ -47,18 +47,13 @@ def pallas_free_twin(cfg: CanonSwapModelConfig) -> CanonSwapModelConfig:
     rc=1 regression."""
     return dataclasses.replace(
         cfg,
-        appearance=dataclasses.replace(
-            cfg.appearance, int8_conv=False, fused_chain=False),
+        appearance=dataclasses.replace(cfg.appearance, int8_conv=False),
         warping=dataclasses.replace(
             cfg.warping, warp_impl="packed",
             dense_motion=dataclasses.replace(
                 cfg.warping.dense_motion, int8_conv=False)),
-        spade=dataclasses.replace(
-            cfg.spade, int8_conv=False, fused_chain=False,
-            chain_ksplit=False),
-        swap=dataclasses.replace(
-            cfg.swap, int8_conv=False, fused_chain=False,
-            chain_ksplit=False),
+        spade=dataclasses.replace(cfg.spade, int8_conv=False),
+        swap=dataclasses.replace(cfg.swap, int8_conv=False),
     )
 
 
@@ -92,8 +87,7 @@ class CanonSwapCore:
     def refine(self) -> RefineModule:
         # the refine chain runs on the same volume as the swap 3D chain, so
         # it shares the swap int8 flag
-        return RefineModule(int8=self.cfg.swap.int8_conv,
-                            fused_chain=self.cfg.swap.fused_chain)
+        return RefineModule(int8=self.cfg.swap.int8_conv)
 
     @functools.cached_property
     def stitching(self):
@@ -182,15 +176,19 @@ def warp_to_canonical(core, params, f_s, x_t, x_can):
     return warped, occ
 
 
-def inject_identity(core, params, f_can, source_id):
-    """Canonical-space identity swap (transfer module)."""
+def inject_identity(core, params, f_can, source_id, packed_out=False):
+    """Canonical-space identity swap (transfer module).
+
+    ``packed_out=True`` hands the volume to the refine module in pack_hw2
+    layout (see SwapModule.packed_out)."""
     return core.swap.apply(
-        params["transfer"], f_can, source_id.astype(f_can.dtype)
+        params["transfer"], f_can, source_id.astype(f_can.dtype),
+        packed_out=packed_out,
     )
 
 
-def refine_volume(core, params, f_swap):
-    return core.refine.apply(params["refine"], f_swap)
+def refine_volume(core, params, f_swap, packed_in=False):
+    return core.refine.apply(params["refine"], f_swap, packed_in=packed_in)
 
 
 def warp_decode(core, params, volume, x_can, x_t):
@@ -244,12 +242,16 @@ def swap_step(
     x_can = (motion["scale"][..., None] * motion["kp"]).astype(frames.dtype)
     x_t = motion["x_t"].astype(frames.dtype)
     f_can, occ = warp_to_canonical(core, params, f_s, x_t, x_can)
-    f_swap = inject_identity(core, params, f_can, source_id)
+    # without debug decodes, the swap->refine boundary stays in pack_hw2
+    # layout (the unpack+pack round trip cancels exactly)
+    packed = not with_debug
+    f_swap = inject_identity(core, params, f_can, source_id,
+                             packed_out=packed)
     out = {}
     if with_debug:
         out["rec_can"] = conv_decode(core, params, f_can, occ)
         out["swap_can"] = conv_decode(core, params, f_swap, occ)
-    f_swap = refine_volume(core, params, f_swap)
+    f_swap = refine_volume(core, params, f_swap, packed_in=packed)
     out["out"] = warp_decode(core, params, f_swap, x_can, x_t)
     return out
 

@@ -24,20 +24,16 @@ from canonswap_tpu.runtime import core as C
 
 def _all_levers_cfg():
     """TINY with every Pallas-lowering lever enabled, as the bench/session
-    config builders can produce on TPU (warp pallas_quant + int8 + fused
-    chains + ksplit)."""
+    config builders can produce on TPU (warp pallas_quant + int8)."""
     return dataclasses.replace(
         TINY,
-        appearance=dataclasses.replace(
-            TINY.appearance, int8_conv=True, fused_chain=True),
+        appearance=dataclasses.replace(TINY.appearance, int8_conv=True),
         warping=dataclasses.replace(
             TINY.warping, warp_impl="pallas_quant",
             dense_motion=dataclasses.replace(
                 TINY.warping.dense_motion, int8_conv=True)),
-        spade=dataclasses.replace(
-            TINY.spade, int8_conv=True, fused_chain=True, chain_ksplit=True),
-        swap=dataclasses.replace(
-            TINY.swap, int8_conv=True, fused_chain=True, chain_ksplit=True),
+        spade=dataclasses.replace(TINY.spade, int8_conv=True),
+        swap=dataclasses.replace(TINY.swap, int8_conv=True),
     )
 
 
@@ -62,12 +58,10 @@ def test_pallas_free_twin_strips_every_lever():
     cfg = _all_levers_cfg()
     twin = C.pallas_free_twin(cfg)
     assert twin.warping.warp_impl == "packed"
-    assert not twin.appearance.int8_conv and not twin.appearance.fused_chain
+    assert not twin.appearance.int8_conv
     assert not twin.warping.dense_motion.int8_conv
-    assert not twin.spade.int8_conv and not twin.spade.fused_chain
-    assert not twin.spade.chain_ksplit
-    assert not twin.swap.int8_conv and not twin.swap.fused_chain
-    assert not twin.swap.chain_ksplit
+    assert not twin.spade.int8_conv
+    assert not twin.swap.int8_conv
     # non-lever fields untouched
     assert twin.input_size == cfg.input_size
     assert twin.motion == cfg.motion

@@ -161,18 +161,17 @@ def test_swap_e2e_smooth_motion(session, media, tmp_path):
 
 
 def test_swap_e2e_stitching_retargeting_halfres(media, tmp_path):
-    """flag_stitching + eye/lip retargeting + dense_motion_scale=2 +
-    spade_phase_fold all wired: the session builds the stitching nets
-    (models/stitching.py), the swap dispatch routes x_t through
-    adjust_driving_kp (runtime/core.py), the dense deformation field is
-    estimated at half resolution, and the up_1 gamma/beta convs run
-    phase-folded at segmap resolution (TINY's up_1 is factor 4 too).
-    Reference semantics: the vestigial retarget path can_swap_e2e.py:258-282."""
+    """flag_stitching + eye/lip retargeting + dense_motion_scale=2 all
+    wired: the session builds the stitching nets (models/stitching.py),
+    the swap dispatch routes x_t through adjust_driving_kp
+    (runtime/core.py), and the dense deformation field is estimated at
+    half resolution.  Reference semantics: the vestigial retarget path
+    can_swap_e2e.py:258-282."""
     session = FaceSwapSession(
         InferenceConfig(
             batch_size=2, flag_stitching=True, flag_eye_retargeting=True,
             flag_lip_retargeting=True, flag_normalize_lip=True,
-            dense_motion_scale=2, flag_int8=True, spade_phase_fold=True,
+            dense_motion_scale=2, flag_int8=True,
         ),
         CropConfig(),
         TINY,

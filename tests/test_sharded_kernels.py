@@ -40,41 +40,6 @@ def test_warp_onehot_sharded_matches_single_device():
     assert float(jnp.max(jnp.abs(out1 - ref))) == 0.0
 
 
-def test_adaptive_chain_sharded_matches_single_device():
-    from canonswap_tpu.ops.pallas.chain import (
-        adaptive_chain, adaptive_chain_params)
-
-    n, h, w, c, nb = 8, 8, 8, 128, 2
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
-    x = jax.random.normal(k1, (n, h, w, c), jnp.bfloat16)
-    ks = jax.random.split(k2, nb * 5).reshape(nb, 5, 2)
-    blocks = [{
-        "weight": jax.random.normal(ks[j, 0], (2, 3, 3, c, c)) * 0.01,
-        "bias": 0.05 * jax.random.normal(ks[j, 1], (2, c)),
-        "mask_kernel": 0.05 * jax.random.normal(ks[j, 2], (2, 3, 3, c, 1)),
-        "mask_bias": 0.05 * jax.random.normal(ks[j, 3], (2, 1)),
-    } for j in range(nb)]
-    styles = 1.0 + 0.3 * jax.random.normal(k3, (n, nb, 2, c))
-    prep = adaptive_chain_params(blocks, styles)
-
-    ref = adaptive_chain(x, prep, interpret=True)
-    mesh = _mesh()
-    xsh = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
-
-    def put(tree, batched_axes):
-        return tuple(
-            jax.device_put(a, xsh if isb else rep)
-            for a, isb in zip(tree, batched_axes))
-
-    prep_s = put(prep, (True, True, False, False, False))
-    out = jax.jit(
-        lambda xx, pp: adaptive_chain(xx, pp, interpret=True),
-        out_shardings=xsh)(jax.device_put(x, xsh), prep_s)
-    assert float(jnp.max(jnp.abs(
-        out.astype(jnp.float32) - ref.astype(jnp.float32)))) == 0.0
-
-
 def test_qconv_pallas_sharded_matches_single_device():
     from canonswap_tpu.ops.pallas.qconv import qconv2d_pallas
 
@@ -88,34 +53,5 @@ def test_qconv_pallas_sharded_matches_single_device():
     out = jax.jit(
         lambda xx, kk: qconv2d_pallas(xx, kk, interpret=True),
         out_shardings=xsh)(jax.device_put(x, xsh), kern)
-    assert float(jnp.max(jnp.abs(
-        out.astype(jnp.float32) - ref.astype(jnp.float32)))) == 0.0
-
-
-def test_res3d_bn_chain_sharded_matches_single_device():
-    from canonswap_tpu.ops.pallas.chain3d import (
-        res3d_bn_chain, res3d_bn_chain_params)
-
-    n, d, hh, wh, c_orig, nb = 8, 2, 8, 8, 8, 1
-    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
-    xp = jax.random.normal(k1, (n, d, hh, wh, 4 * c_orig), jnp.bfloat16)
-    ks = jax.random.split(k2, 6).reshape(6, 2)
-    blocks = [{
-        "bn_scale": 1.0 + 0.1 * jax.random.normal(ks[0], (2, c_orig)),
-        "bn_bias": 0.1 * jax.random.normal(ks[1], (2, c_orig)),
-        "bn_mean": 0.1 * jax.random.normal(ks[2], (2, c_orig)),
-        "bn_var": jnp.abs(1.0 + 0.2 * jax.random.normal(ks[3], (2, c_orig))),
-        "kernel": 0.05 * jax.random.normal(
-            ks[4], (2, 3, 3, 3, c_orig, c_orig)),
-        "bias": 0.05 * jax.random.normal(ks[5], (2, c_orig)),
-    }]
-    prep = res3d_bn_chain_params(blocks)
-    ref = res3d_bn_chain(xp, prep, interpret=True)
-
-    mesh = _mesh()
-    xsh = NamedSharding(mesh, P("data"))
-    out = jax.jit(
-        lambda xx, pp: res3d_bn_chain(xx, pp, interpret=True),
-        out_shardings=xsh)(jax.device_put(xp, xsh), prep)
     assert float(jnp.max(jnp.abs(
         out.astype(jnp.float32) - ref.astype(jnp.float32)))) == 0.0
