@@ -217,6 +217,42 @@ def stages():
         yield f"{tag}_w8a8", (conv2d_w8a8, (xx, kk))
         yield f"{tag}_pallas", (qconv2d_pallas, (xx, kk))
 
+    # ---- one warping pass at fast / exact settings ----------------------
+    from canonswap_tpu.models.warping import WarpingNetwork
+
+    kp1 = jax.random.normal(rng, (B, 21, 3), DT) * 0.1
+    kp2 = kp1 + jax.random.normal(jax.random.PRNGKey(9), (B, 21, 3),
+                                  DT) * 0.05
+    for tag, wi, fsc in (("warp_site_fast", "pallas_quant", 2),
+                         ("warp_site_exact", "pallas", 1),
+                         ("warp_site_packedgather", "packed", 1)):
+        wn = WarpingNetwork(dc.replace(cfg.warping, warp_impl=wi,
+                                       dense_motion_scale=fsc))
+        pw = _zeros_init(wn, vol, kp_driving=kp1, kp_source=kp2)
+        yield tag, (
+            lambda p, v, a, b2, wn=wn: wn.apply(
+                p, v, kp_driving=a, kp_source=b2), (pw, vol, kp1, kp2))
+
+    # ---- sidecar split: 203-landmark trunk vs Segformer parse ----------
+    from canonswap_tpu.models.landmark import Landmark203Runner
+    from canonswap_tpu.models.parsing import (
+        Segformer, SegformerConfig, preprocess,
+    )
+
+    lmk = Landmark203Runner(rng=jax.random.PRNGKey(2))
+    crop224 = jnp.full((B, 224, 224, 3), 127.0, DT)
+    lp = jax.tree.map(lambda a: a.astype(DT) if hasattr(a, "astype") else a,
+                      lmk.params)
+    yield "lmk203_224", (
+        lambda p, x: lmk.net.apply(p, x), (lp, crop224))
+
+    seg = Segformer(SegformerConfig())
+    for res in (512, 256):
+        big = jnp.full((B, res, res, 3), 0.5, DT)
+        sp = _zeros_init(seg, preprocess(big.astype(jnp.float32)))
+        yield f"segformer_{res}", (
+            lambda p, x, seg=seg: seg.apply(p, preprocess(x)), (sp, big))
+
 
 class _Chain:
     """N copies of a single-arg block as one flax module."""
