@@ -164,15 +164,23 @@ class MobileLandmarkNet(nn.Module):
 _DEFAULT_WIDTHS = (32, 64, 128, 256)
 
 
-def _make_trunk(num_points: int, trunk, widths):
-    """trunk=None: mobile (the faithful default) unless custom ``widths``
-    were requested — those only exist on the residual stand-in (tests use
-    tiny widths for speed)."""
-    if trunk is None:
-        trunk = "mobile" if tuple(widths) == _DEFAULT_WIDTHS else "residual"
+def _make_trunk(num_points: int, trunk: str, widths):
+    """Explicit trunk selection: ``mobile`` (the faithful coordinateReg
+    default) or ``residual`` (the ONNX-import stand-in; ``widths`` is its
+    test-speed knob and only applies there)."""
     if trunk == "mobile":
+        if widths is not None:
+            raise ValueError(
+                "widths only applies to trunk='residual' (the mobile trunk "
+                "has a fixed MobileNetV1-0.5 plan); got widths="
+                f"{widths!r}")
         return MobileLandmarkNet(num_points=num_points)
-    return LandmarkNet(num_points=num_points, widths=tuple(widths))
+    if trunk == "residual":
+        return LandmarkNet(
+            num_points=num_points,
+            widths=tuple(widths) if widths is not None else _DEFAULT_WIDTHS)
+    raise ValueError(f"unknown landmark trunk {trunk!r} "
+                     "(expected 'mobile' or 'residual')")
 
 
 class Landmark106Runner:
@@ -184,9 +192,10 @@ class Landmark106Runner:
 
     input_size = 192
 
-    def __init__(self, params=None, rng=None, widths=(32, 64, 128, 256),
-                 trunk=None):
+    def __init__(self, params=None, rng=None, widths=None,
+                 trunk="mobile"):
         self.net = _make_trunk(106, trunk, widths)
+        self.trunk = trunk
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             params = self.net.init(
@@ -223,9 +232,10 @@ class Landmark203Runner:
 
     input_size = 224
 
-    def __init__(self, params=None, rng=None, widths=(32, 64, 128, 256),
-                 trunk=None):
+    def __init__(self, params=None, rng=None, widths=None,
+                 trunk="mobile"):
         self.net = _make_trunk(203, trunk, widths)
+        self.trunk = trunk
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(1)
             params = self.net.init(

@@ -38,7 +38,8 @@ class FaceSwapSession:
         det_size: tuple[int, int] = (512, 512),
         arcface_layers: tuple[int, int, int, int] = (3, 4, 23, 3),
         parsing_cfg: P.SegformerConfig | None = None,
-        landmark_widths: tuple[int, ...] = (32, 64, 128, 256),
+        landmark_widths: tuple[int, ...] | None = None,
+        landmark_trunk: str = "mobile",
         fast_init: bool = False,
         mesh=None,
     ):
@@ -188,16 +189,16 @@ class FaceSwapSession:
         )
         if fast_init:
             lp203 = _zeros_like_init(
-                lambda r: Landmark203Runner(rng=r, widths=landmark_widths).params
+                lambda r: Landmark203Runner(rng=r, widths=landmark_widths, trunk=landmark_trunk).params
             )(keys[2])
-            self.landmark203 = Landmark203Runner(params=lp203, widths=landmark_widths)
+            self.landmark203 = Landmark203Runner(params=lp203, widths=landmark_widths, trunk=landmark_trunk)
             lp106 = _zeros_like_init(
-                lambda r: Landmark106Runner(rng=r, widths=landmark_widths).params
+                lambda r: Landmark106Runner(rng=r, widths=landmark_widths, trunk=landmark_trunk).params
             )(keys[3])
-            self.lmk106 = Landmark106Runner(params=lp106, widths=landmark_widths)
+            self.lmk106 = Landmark106Runner(params=lp106, widths=landmark_widths, trunk=landmark_trunk)
         else:
-            self.landmark203 = Landmark203Runner(rng=keys[2], widths=landmark_widths)
-            self.lmk106 = Landmark106Runner(rng=keys[3], widths=landmark_widths)
+            self.landmark203 = Landmark203Runner(rng=keys[2], widths=landmark_widths, trunk=landmark_trunk)
+            self.lmk106 = Landmark106Runner(rng=keys[3], widths=landmark_widths, trunk=landmark_trunk)
         self.face_analysis.lmk106 = self.lmk106
         self.cropper = Cropper(
             self.crop_cfg, self.face_analysis, self.landmark203,

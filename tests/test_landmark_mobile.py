@@ -34,9 +34,16 @@ def test_default_runner_uses_mobile_trunk():
     assert isinstance(r.net, MobileLandmarkNet)
     r6 = Landmark106Runner(rng=jax.random.PRNGKey(1))
     assert isinstance(r6.net, MobileLandmarkNet)
-    # custom widths only exist on the residual stand-in (test-speed knob)
-    rt = Landmark203Runner(rng=jax.random.PRNGKey(1), widths=(8, 12, 16, 24))
+    # custom widths only exist on the residual stand-in (test-speed knob):
+    # trunk selection is explicit, combining widths with the mobile default
+    # is an error rather than a silent trunk switch (ADVICE r4)
+    rt = Landmark203Runner(rng=jax.random.PRNGKey(1), trunk="residual",
+                           widths=(8, 12, 16, 24))
     assert isinstance(rt.net, LandmarkNet)
+    with pytest.raises(ValueError, match="widths"):
+        Landmark203Runner(rng=jax.random.PRNGKey(1), widths=(8, 12, 16, 24))
+    with pytest.raises(ValueError, match="trunk"):
+        Landmark106Runner(rng=jax.random.PRNGKey(1), trunk="resnet")
 
 
 @pytest.mark.parametrize("trunk", ["mobile", "residual"])
@@ -46,8 +53,9 @@ def test_runner_decode_geometry(trunk):
     106-pt pred in [-1,1] -> (p+1)*96 -> inverse affine
     (model_zoo/landmark.py:80-104)."""
     img = (np.random.RandomState(0).rand(320, 280, 3) * 255).astype(np.uint8)
+    widths = (8, 12, 16, 24) if trunk == "residual" else None
     r = Landmark203Runner(rng=jax.random.PRNGKey(2), trunk=trunk,
-                          widths=(8, 12, 16, 24))
+                          widths=widths)
     pts = r.run(img)  # no prior lmk: force-resize branch
     assert pts.shape == (203, 2)
     # force-resize M_c2o is diag(scale): verify decode inverts it exactly
@@ -58,7 +66,7 @@ def test_runner_decode_geometry(trunk):
     np.testing.assert_allclose(pts, raw * 224.0 * scale, rtol=1e-4, atol=1e-3)
 
     r6 = Landmark106Runner(rng=jax.random.PRNGKey(3), trunk=trunk,
-                           widths=(8, 12, 16, 24))
+                           widths=widths)
     bbox = np.array([40.0, 60.0, 200.0, 240.0])
     pts6 = r6.get(img, bbox)
     assert pts6.shape == (106, 2)
