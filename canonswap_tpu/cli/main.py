@@ -71,6 +71,11 @@ def main(argv=None):
     crop_cfg = partial_fields(CropConfig, dataclasses.asdict(args))
     # entry-point overrides matching the reference (inference_canswap.py:56-58)
     inference_cfg.flag_crop_driving_video = args.flag_crop_driving_video
+    if args.debug_nans:
+        # per-primitive NaN checker must be set before any jit traces
+        from canonswap_tpu.utils.sanitize import enable_debug_nans
+
+        enable_debug_nans()
 
     from canonswap_tpu.pipelines.session import FaceSwapSession
 

@@ -58,6 +58,8 @@ class ArgumentConfig:
     flag_int8: bool = False  # int8 convs in the swap/SPADE hot shapes
     spade_norm_scale: int = 1  # >1: half-res SPADE up-block modulations
     warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
+    # sanitizer: jax_debug_nans + a NaN/inf gate on every swapped batch
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass
@@ -102,6 +104,8 @@ class InferenceConfig:
     # trilinear warp backend: auto = Pallas one-hot kernel on TPU
     # (int8 variant under flag_int8), XLA packed gather elsewhere
     warp_impl: str = "auto"
+    # sanitizer: jax_debug_nans + a NaN/inf gate on every swapped batch
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass

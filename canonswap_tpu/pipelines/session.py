@@ -366,7 +366,12 @@ class FaceSwapSession:
             self.core, self.params, frames01, source_id, motion,
             with_debug=with_debug,
         )
-        return jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        if getattr(self.inference_cfg, "debug_nans", False):
+            from canonswap_tpu.utils.sanitize import assert_finite
+
+            assert_finite(out, "swap_batch output")
+        return out
 
     def prepare_frames(self, frames_uint8: np.ndarray) -> jax.Array:
         """uint8 (B, S, S, 3) -> float [0,1] device array (prepare_videos
