@@ -6,11 +6,12 @@ The reference runs both as opaque ONNX sessions:
   - landmark.onnx (LivePortrait 203-pt, 224x224, human_landmark_runner.py:60-85)
     decode: pred in [0,1] -> * 224 -> M_c2o to image.
 
-Here they are native flax models (residual trunks + regression head).
-The exact ONNX weights import via runtime/onnx_import.py when the user
-supplies the files (and runtime/onnx_exec.py executes ANY real file's graph
-directly); random-weight instances keep the full pipeline runnable and
-trainable.  The *geometry* around them (crop construction, de-normalize,
+Here they are native flax models.  The exact ONNX weights import onto the
+DEFAULT mobile trunk via runtime/onnx_map.py — proven against real
+torch.onnx.export coordinateReg-lineage graphs with numeric equality
+(tests/test_onnx_realistic.py::test_mobile_map_onto_flax_matches_torch) —
+and runtime/onnx_exec.py executes ANY real file's graph directly;
+random-weight instances keep the full pipeline runnable and trainable.  The *geometry* around them (crop construction, de-normalize,
 inverse transform, frame-to-frame tracking) matches the reference exactly —
 that is what determines pipeline behaviour.
 

@@ -246,3 +246,71 @@ class TorchLandmarkNet(nn.Module):
             h = blk(h)
         h = h.mean(dim=(2, 3))
         return self.head(F.relu(self.fc0(h)))
+
+
+class TorchDWSep(nn.Module):
+    """models/landmark.py::_DWSep mirror: dw3x3 -> PReLU -> pw1x1 -> PReLU,
+    inference-affine (biased convs, no separate BN — the deployed
+    coordinateReg ONNX form)."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.dw = nn.Conv2d(cin, cin, 3, stride, 1, groups=cin)
+        self.dw_act = nn.PReLU(cin)
+        self.pw = nn.Conv2d(cin, cout, 1)
+        self.pw_act = nn.PReLU(cout)
+
+    def forward(self, x):
+        return self.pw_act(self.pw(self.dw_act(self.dw(x))))
+
+
+class TorchMobileLandmarkNet(nn.Module):
+    """models/landmark.py::MobileLandmarkNet mirror: MobileNetV1-0.5
+    depthwise-separable body, per-channel PReLU, GDC head, fc0(256)+PReLU,
+    coordinate head — the coordinateReg lineage of 2d106det.onnx /
+    landmark.onnx (model_zoo/landmark.py:31-49)."""
+
+    PLAN = [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
+            (512, 2), (512, 1), (512, 1), (512, 1), (512, 1), (512, 1),
+            (1024, 2), (1024, 1)]
+
+    def __init__(self, num_points, input_size, dims=2, width=0.5):
+        super().__init__()
+
+        def c(n):
+            return max(8, int(n * width))
+
+        self.stem = nn.Conv2d(3, c(32), 3, 2, 1)
+        self.stem_act = nn.PReLU(c(32))
+        blocks = []
+        cin = c(32)
+        n_stride2 = 1  # the stem
+        for f, s in self.PLAN:
+            blocks.append(TorchDWSep(cin, c(f), stride=s))
+            cin = c(f)
+            n_stride2 += s == 2
+        self.blocks = nn.ModuleList(blocks)
+        hw = input_size // (2 ** n_stride2)
+        self.gdc = nn.Conv2d(cin, cin, hw, groups=cin)
+        self.fc0 = nn.Linear(cin, 256)
+        self.fc0_act = nn.PReLU(256)
+        self.head = nn.Linear(256, num_points * dims)
+
+    def forward(self, x):
+        h = self.stem_act(self.stem(x))
+        for blk in self.blocks:
+            h = blk(h)
+        h = self.gdc(h).flatten(1)
+        return self.head(self.fc0_act(self.fc0(h)))
+
+
+def randomize_prelu_(model: nn.Module, seed: int = 0) -> nn.Module:
+    """Non-uniform PReLU slopes: fresh torch PReLUs are all 0.25, so a
+    mis-zipped slope assignment between same-width layers would be invisible
+    — real trained files have distinct per-channel slopes."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.PReLU):
+                m.weight.uniform_(0.05, 0.6, generator=g)
+    return model

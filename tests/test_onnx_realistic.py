@@ -33,7 +33,8 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, str(Path(__file__).parent / "helpers"))
 
 from torch_export import (  # noqa: E402
-    TorchLandmarkNet, TorchSCRFD, export_onnx_bytes, randomize_norms_)
+    TorchLandmarkNet, TorchMobileLandmarkNet, TorchSCRFD, export_onnx_bytes,
+    randomize_norms_, randomize_prelu_)
 
 from canonswap_tpu.runtime import onnx_exec as OE  # noqa: E402
 from canonswap_tpu.runtime import onnx_import as OI  # noqa: E402
@@ -145,4 +146,79 @@ def test_landmark_map_onto_flax_matches_torch(landmark_export):
     v_out = assign_onnx_weights(dict(v), graph, order)
     got = np.asarray(m.apply(v_out, xj))
     assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+# --- the DEFAULT (benchmarked) mobile trunk: coordinateReg lineage ---------
+# VERDICT r4 next #5: the residual stand-in above covers the GroupNorm
+# import path; these cover the trunk the pipeline actually ships — dw-sep
+# convs + per-channel PReLU + GDC head, the exact topology class of
+# 2d106det.onnx / landmark.onnx (model_zoo/landmark.py:31-49,
+# human_landmark_runner.py:26-54).
+
+
+@pytest.fixture(scope="module", params=[(203, 224), (106, 192)])
+def mobile_export(request):
+    npts, size = request.param
+    torch.manual_seed(4)
+    m = randomize_prelu_(TorchMobileLandmarkNet(npts, size), seed=5)
+    m.eval()
+    x = torch.randn(2, 3, size, size)
+    with torch.no_grad():
+        want = m(x).numpy()
+    blob = export_onnx_bytes(m, (x,))
+    return npts, x.numpy(), want, OI.load_onnx(blob)
+
+
+def test_mobile_export_is_realistic(mobile_export):
+    """Fingerprints of the deployed coordinateReg files: per-channel PRelu
+    nodes, grouped (depthwise) Convs incl. the full-spatial GDC, Gemm head,
+    no BatchNormalization (inference-affine form)."""
+    _, _, _, graph = mobile_export
+    assert not graph.by_op("BatchNormalization")
+    assert len(graph.by_op("PRelu")) >= 27  # stem + 2x13 blocks + fc0
+    groups = [int(n.attrs.get("group", 1)) for n in graph.by_op("Conv")]
+    assert sum(g > 1 for g in groups) == 14  # 13 dw + GDC
+    assert graph.by_op("Gemm")
+
+
+def test_mobile_exec_matches_torch(mobile_export):
+    _, x, want, graph = mobile_export
+    got = OE.OnnxExecutor(graph)(x)
+    if isinstance(got, (list, tuple)):
+        (got,) = got
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+def test_mobile_map_onto_flax_matches_torch(mobile_export):
+    """Real-exporter weights zip onto the DEFAULT MobileLandmarkNet trunk
+    with numeric equality — the real 2d106det/landmark files' import path."""
+    from canonswap_tpu.models.landmark import MobileLandmarkNet
+
+    npts, x, want, graph = mobile_export
+    m = MobileLandmarkNet(num_points=npts)
+    xj = np.transpose(x, (0, 2, 3, 1))
+    v = m.init(jax.random.PRNGKey(0), xj)
+    order = module_call_order(m, xj)
+    v_out = assign_onnx_weights(dict(v), graph, order)
+    got = np.asarray(m.apply(v_out, xj))
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+def test_mobile_runner_accepts_imported_params(mobile_export):
+    """The populated variables drop into the production runners."""
+    from canonswap_tpu.models.landmark import (
+        Landmark106Runner, Landmark203Runner)
+
+    npts, x, want, graph = mobile_export
+    cls = Landmark203Runner if npts == 203 else Landmark106Runner
+    m_probe = cls(rng=jax.random.PRNGKey(0))  # default trunk = mobile
+    order = module_call_order(m_probe.net, np.transpose(x, (0, 2, 3, 1)))
+    v_out = assign_onnx_weights(dict(m_probe.params), graph, order)
+    runner = cls(params=v_out)
+    got = np.asarray(runner._apply(runner.params,
+                                   np.transpose(x, (0, 2, 3, 1))))
     assert _rel(got, want) < 1e-4
