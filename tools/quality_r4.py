@@ -9,7 +9,9 @@ at CANONICAL scale on the TPU, then measures on the TRAINED weights:
     (not pinned synthetic keypoints)
   - the Pallas warp window-hit rate on the REAL dense deformation field
 
-Appends JSON records to tools/profile_r4.jsonl (stage quality_trained_*).
+Appends JSON records to tools/profile_r5.jsonl (stage quality_trained_*)
+AND writes the flattened summary to tools/quality_trained.json, which
+bench.py merges into the official record's extra (trained_* keys).
 
 Run:  python tools/quality_r4.py [n_steps]  (default 300)
 """
@@ -35,7 +37,8 @@ from canonswap_tpu.configs.model_config import CANONICAL
 from canonswap_tpu.runtime import core as C, train as T
 from canonswap_tpu.utils.metrics import ssim
 
-LOG = os.path.join(os.path.dirname(__file__), "profile_r4.jsonl")
+LOG = os.path.join(os.path.dirname(__file__), "profile_r5.jsonl")
+SUMMARY = os.path.join(os.path.dirname(__file__), "quality_trained.json")
 
 
 def synth_frames(step: int, batch: int, s: int) -> jax.Array:
@@ -66,11 +69,18 @@ def main():
     s = CANONICAL.input_size
     log = open(LOG, "a")
 
+    summary = {}
+
     def rec(stage, **kw):
         row = {"stage": stage, **kw}
         print(json.dumps(row), flush=True)
         log.write(json.dumps(row) + "\n")
         log.flush()
+        short = stage.removeprefix("quality_trained_")
+        for k, v in kw.items():
+            summary[f"{short}_{k}"] = v
+        with open(SUMMARY, "w") as f:
+            json.dump(summary, f, indent=1)
 
     core = C.CanonSwapCore(CANONICAL)  # exact, packed warp (grad-safe)
     params = core.init_params_host(jax.random.PRNGKey(0))
