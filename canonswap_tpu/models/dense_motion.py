@@ -138,6 +138,22 @@ def build_hourglass_input(
     return stacked.reshape(b, d, h, w, -1)
 
 
+class _OcclParams(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv(1, (7, 7), name='occlusion')``
+    (params kernel (7,7,Cin,1) / bias (1,)); the caller applies the conv via
+    the shift-sum form (ops/conv2d.py)."""
+
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, self.in_features, 1))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        return kernel, bias
+
+
 class DenseMotionNetwork(nn.Module):
     """``field_scale > 1`` runs the WHOLE estimation pipeline (deformed
     features, heatmaps, hourglass, mask/occlusion heads) at 1/field_scale
@@ -203,31 +219,43 @@ class DenseMotionNetwork(nn.Module):
         from canonswap_tpu.nn.conv3d import Conv3D
 
         # k7^3 conv over 142 channels is the reference's costliest conv
-        # (dense_motion.py:18 "NOTE: computation cost is large"); the depth
-        # decomposition halves it on TPU (bench: 42.8 -> 21.0 ms/step)
-        mask = Conv3D(k + 1, (7, 7, 7), name="mask")(prediction)
-        mask = jax.nn.softmax(mask, axis=-1)  # (B, D, Hs, Ws, K+1)
+        # (dense_motion.py:18 "NOTE: computation cost is large"); depth taps
+        # packed into the output channels (Conv3D auto -> outstacked) is the
+        # measured-best form: 29.0 ms/16f vs 120.9 direct / 74.4 decomposed
+        # (tools/profile_r5.jsonl mask7_*)
+        logits = Conv3D(k + 1, (7, 7, 7), name="mask")(prediction)
+        mask = jax.nn.softmax(logits, axis=-1)  # (B, D, Hs, Ws, K+1)
         # combine WITHOUT materializing the (B,K+1,D,H,W,3) sparse-motion
-        # stack: sum_k mask_k * (grid + shift_k) distributes into
-        # grid * sum(mask) + mask[1:] . shifts (shift_0 = 0).  Identical math
-        # reassociated; saves ~0.5 GB of intermediate per 16-frame step.
+        # stack: sum_k softmax_k * (grid + shift_k) = grid + (e[1:] . shifts)
+        # / sum(e) with e = exp(logits - max) — sum_k softmax_k == 1, so the
+        # grid term needs no mask pass at all.  Identical math reassociated
+        # (0.88 -> 0.69 ms/16f, tools/profile_r5.jsonl combine_*).
         grid = make_coordinate_grid_3d((d, hs, ws), mask.dtype)
         shifts = (kp_source - kp_driving).astype(mask.dtype)  # (B, K, 3)
-        deformation = grid[None] * jnp.sum(mask, axis=-1, keepdims=True) \
-            + jnp.einsum("bdhwk,bkc->bdhwc", mask[..., 1:], shifts)
+        e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        disp = jnp.einsum("bdhwk,bkc->bdhwc", e[..., 1:], shifts) \
+            / jnp.sum(e, axis=-1, keepdims=True)
         if fs > 1:
             # the half-res identity grid differs from the full-res one (both
             # are corner-aligned), so upsample the smooth DISPLACEMENT and
             # re-add the full-res grid
-            disp = deformation - grid[None]
             disp = _bilinear_upsample_plane(disp, fs)
             deformation = make_coordinate_grid_3d(
-                (d, h, w), mask.dtype)[None] + disp
+                (d, h, w), disp.dtype)[None] + disp
+        else:
+            deformation = grid[None] + disp
 
         out = {"deformation": deformation, "mask": mask}
         if self.estimate_occlusion_map:
             pred2d = volume_to_2d(prediction)  # (B, Hs, Ws, F*D), torch order
-            occ = nn.Conv(1, (7, 7), padding="SAME", name="occlusion")(pred2d)
+            # 7x7 conv to ONE output channel = 1/128 MXU fill; re-expressed
+            # exactly as a full-fill pointwise matmul to the 49 taps plus a
+            # zero-flop shifted sum (9.2 -> 1.8 ms/16f, profile_r5 occl_*).
+            # Param tree unchanged: kernel/bias match nn.Conv(1, (7, 7)).
+            from canonswap_tpu.ops.conv2d import conv2d_cout1_shiftsum
+
+            kern = _OcclParams(pred2d.shape[-1], name="occlusion")()
+            occ = conv2d_cout1_shiftsum(pred2d, *kern)
             if fs > 1:
                 occ = _bilinear_upsample_plane(occ, fs)
             out["occlusion_map"] = jax.nn.sigmoid(occ)

@@ -135,8 +135,9 @@ def _run(gx, gy, gz, slab, sscale, h, w, c, pblk, quant, out_dtype,
 
 
 def _kernel_win(
-    gx_ref, gy_ref, gz_ref, xrow_ref, yrow0_ref, zrow0_ref, slab_hbm,
-    out_ref, buf, sem, *, d, h, w, c, win_r, win_z, zsnap, rpb,
+    gx_ref, gy_ref, gz_ref, xrow_ref, yrow0_ref, zrow0_ref, sscale_ref,
+    slab_hbm, out_ref, buf, sem, *, d, h, w, c, win_r, win_z, zsnap, rpb,
+    quant,
 ):
     """Windowed variant: the point block is ``rpb`` consecutive output rows
     at ONE output z-slice, and only a (win_r rows x win_z z-slices) window
@@ -173,11 +174,22 @@ def _kernel_win(
         xrow_ref[0][None, :], x
     )  # (P, win_r*w)
     cp.wait()
-    s = jax.lax.dot_general(
-        onehot.astype(buf.dtype), buf[:, :],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (P, win_z*C)
+    if quant:
+        # W8A8 window: int8 onehot weights x int8 slab -> int32 on the MXU
+        # (~2x the bf16 rate) with the per-sample slab scale folded into
+        # the dequant — the same scheme as the full-table quant kernel.
+        q = jnp.round(onehot * 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q, buf[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32) * (sscale_ref[0, 0, 0] * (1.0 / 127.0))
+    else:
+        s = jax.lax.dot_general(
+            onehot.astype(buf.dtype), buf[:, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, win_z*C)
     sz = s * _tent(zrow0_ref[0][None, :] + oz.astype(jnp.float32), z)
     rowj = jax.lax.broadcasted_iota(jnp.int32, (win_z * c, c), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (win_z * c, c), 1)
@@ -192,16 +204,16 @@ def _kernel_win(
 @functools.partial(
     jax.jit,
     static_argnames=("d", "h", "w", "c", "win_r", "win_z", "zsnap", "rpb",
-                     "out_dtype", "interpret"),
+                     "quant", "out_dtype", "interpret"),
 )
-def _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap, rpb,
-             out_dtype, interpret):
+def _run_win(gx, gy, gz, slab, sscale, d, h, w, c, win_r, win_z, zsnap, rpb,
+             quant, out_dtype, interpret):
     b = gx.shape[0]
     nr = h // rpb
     p = rpb * w
     kern = functools.partial(
         _kernel_win, d=d, h=h, w=w, c=c, win_r=win_r, win_z=win_z,
-        zsnap=zsnap, rpb=rpb,
+        zsnap=zsnap, rpb=rpb, quant=quant,
     )
     g4 = lambda a: a.reshape(b, d * nr, p, 1)  # noqa: E731
     yx = jnp.arange(win_r * w, dtype=jnp.float32)
@@ -221,6 +233,7 @@ def _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap, rpb,
             pl.BlockSpec((1, win_r * w), lambda i, zi, jr: (0, 0)),
             pl.BlockSpec((1, win_r * w), lambda i, zi, jr: (0, 0)),
             pl.BlockSpec((1, win_z * c), lambda i, zi, jr: (0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, zi, jr: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -232,7 +245,7 @@ def _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap, rpb,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(g4(gx), g4(gy), g4(gz), xrow, yrow0, zrow0, slab)
+    )(g4(gx), g4(gy), g4(gz), xrow, yrow0, zrow0, sscale, slab)
     return out
 
 
@@ -384,11 +397,10 @@ def grid_sample_3d_onehot(
     motion emits — an 8x-smaller windowed matmul runs instead of the full
     table; a device-side bounds check falls back to the full kernel
     otherwise.  At ``quant=False`` both branches compute the same exact
-    result.  At ``quant=True`` only the full-table FALLBACK quantizes
-    (the windowed branch stays bf16 — it is both faster and more accurate
-    than the quantized full table, so quantizing it would be a strict
-    loss); the branches then differ by int8 rounding on out-of-range
-    frames only.
+    result.  At ``quant=True`` the slab is quantized once and BOTH
+    branches run W8A8 (the windowed W8A8 matmul is ~2x the bf16 windowed
+    rate and halves the window DMA; per-sample symmetric scale, same
+    scheme either branch, so the cond branches agree up to tap rounding).
     """
     b, d, h, w, c = vol.shape
     out_shape = grid.shape[:-1]
@@ -440,13 +452,39 @@ def grid_sample_3d_onehot(
         out = run_full(None)
         return out.reshape(*out_shape, c)
 
-    def run_win(_):
-        return _run_win(gx, gy, gz, slab, d, h, w, c, win_r, win_z, zsnap,
-                        rpb, vol.dtype, interpret)
-
     fits = _window_fits(
         _unnormalize(gx, w), _unnormalize(gy, h), _unnormalize(gz, d),
         d, h, w, win_r, win_z, zsnap, rpb,
     )
+    if quant:
+        # quantize ONCE, outside the cond: both branches consume the int8
+        # slab (per-sample symmetric scale), so the windowed fast path gets
+        # the MXU's ~2x s8 rate AND half the window DMA traffic (measured
+        # 19.8 -> ~13 ms/16f at CANONICAL; tools/profile_r5.jsonl
+        # warp_win_quant)
+        sxq = (jnp.max(jnp.abs(slab.astype(jnp.float32)), axis=(1, 2))
+               / 127.0 + 1e-12)
+        sscale = sxq[:, None, None]
+        slab_q = jnp.clip(
+            jnp.round(slab.astype(jnp.float32) / sscale), -127, 127
+        ).astype(jnp.int8)
+
+        def run_win_q(_):
+            return _run_win(gx, gy, gz, slab_q, sscale, d, h, w, c, win_r,
+                            win_z, zsnap, rpb, True, vol.dtype, interpret)
+
+        def run_full_q(_):
+            return _run(gx, gy, gz, slab_q, sscale, h, w, c, pb, True,
+                        vol.dtype, interpret)
+
+        out = jax.lax.cond(fits, run_win_q, run_full_q, None)
+        return out.reshape(*out_shape, c)
+
+    def run_win(_):
+        return _run_win(gx, gy, gz, slab,
+                        jnp.ones((b, 1, 1), jnp.float32), d, h, w, c,
+                        win_r, win_z, zsnap, rpb, False, vol.dtype,
+                        interpret)
+
     out = jax.lax.cond(fits, run_win, run_full, None)
     return out.reshape(*out_shape, c)
