@@ -250,7 +250,7 @@ def main():
     quality = {}
     errors = {}
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("CANONSWAP_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("CANONSWAP_BENCH_BUDGET_S", "900"))
 
     def emit():
         """Print the cumulative result line NOW.  The driver takes the last

@@ -268,6 +268,67 @@ def conv3d_packed(xp: jax.Array, kernel: jax.Array,
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _zband_map(depth: int) -> _np.ndarray:
+    """Constant 0/1 tensor e[t, di, do]: depth tap t of output slice do
+    reads input slice di = do + t - 1 (zero padding = absent band entry)."""
+    e = _np.zeros((3, depth, depth), _np.float32)
+    for do in range(depth):
+        for t in range(3):
+            di = do + t - 1
+            if 0 <= di < depth:
+                e[t, di, do] = 1.0
+    return e
+
+
+def to_zslab(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (B, H, W, D*C), channel index d*C + c (d-major —
+    the same channel order as the Pallas warp's z-packed slab)."""
+    b, d, h, w, c = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
+
+
+def from_zslab(x: jax.Array, depth: int) -> jax.Array:
+    """Inverse of :func:`to_zslab`."""
+    b, h, w, dc = x.shape
+    return x.reshape(b, h, w, depth, dc // depth).transpose(0, 3, 1, 2, 4)
+
+
+def conv3d_zdense(xs: jax.Array, kernel: jax.Array,
+                  bias: jax.Array | None = None,
+                  int8: bool = False) -> jax.Array:
+    """Exact kd=3 3D conv on a :func:`to_zslab` volume: ONE dense 2D conv
+    with a block-banded (3, 3, D*Cin, D*Cout) kernel.
+
+    The depth axis lives in the channel dim, so the depth taps become a
+    banded channel mixing — the dense kernel carries (3D-2)/D^2 ~ 18%
+    real weights (rest structural zeros), i.e. ~5.6x the true MACs, but as
+    one MXU-shaped 512-channel conv instead of 3 halo-summed 128-channel
+    convs over a tiny 32^2 grid.  Depth zero-padding falls out of the band
+    structure (border slices simply have no source channel).
+
+    xs: (B, H, W, D*Cin) d-major; kernel: (3, kh, kw, Cin, Cout) ORIGINAL
+    checkpoint layout.  Returns (B, H, W, D*Cout) d-major.
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    if kd != 3:
+        raise ValueError("conv3d_zdense expects a depth-3 kernel")
+    depth = xs.shape[-1] // cin
+    e = jnp.asarray(_zband_map(depth), kernel.dtype)
+    kdense = jnp.einsum("tabio,tde->abdieo", kernel, e)
+    kdense = kdense.reshape(kh, kw, depth * cin, depth * cout)
+    if int8:
+        from canonswap_tpu.ops.qconv import conv2d_w8a8
+
+        return conv2d_w8a8(
+            xs, kdense, jnp.tile(bias, depth) if bias is not None else None)
+    y = lax.conv_general_dilated(
+        xs, kdense, (1, 1), "SAME", dimension_numbers=_DN_2D)
+    if bias is not None:
+        y = y + jnp.tile(bias, depth)
+    return y
+
+
 class Conv3D(nn.Module):
     """Drop-in stride-1 SAME 3D conv with selectable implementation.
 

@@ -379,3 +379,45 @@ class TestFoldedUpsampleConv:
         assert set(params) == {"mlp_shared", "mlp_gamma", "mlp_beta"}
         assert params["mlp_shared"]["kernel"].shape == (3, 3, 6, 128)
         assert params["mlp_shared"]["bias"].shape == (128,)
+
+
+class TestZDenseConv3D:
+    """Depth-in-channels banded dense conv (nn.conv3d.conv3d_zdense): exact
+    equivalence with torch F.conv3d on the to_zslab layout."""
+
+    def test_zslab_roundtrip(self):
+        from canonswap_tpu.nn.conv3d import from_zslab, to_zslab
+
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (2, 4, 8, 10, 5)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(from_zslab(to_zslab(x), 4)), np.asarray(x))
+
+    def test_matches_torch_conv3d(self):
+        from canonswap_tpu.nn.conv3d import conv3d_zdense, from_zslab, to_zslab
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 4, 8, 8, 5)).astype(np.float32)
+        k = rng.standard_normal((3, 3, 3, 5, 7)).astype(np.float32)
+        b = rng.standard_normal((7,)).astype(np.float32)
+        out = from_zslab(
+            conv3d_zdense(to_zslab(jnp.asarray(x)), jnp.asarray(k),
+                          jnp.asarray(b)), 4)
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        tk = torch.from_numpy(k).permute(4, 3, 0, 1, 2)
+        ref = tF.conv3d(tx, tk, torch.from_numpy(b), padding=1)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+    def test_int8_close(self):
+        from canonswap_tpu.nn.conv3d import conv3d_decomposed, conv3d_zdense, \
+            from_zslab, to_zslab
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)) * 0.1,
+                        jnp.float32)
+        want = conv3d_decomposed(x, k)
+        got = from_zslab(conv3d_zdense(to_zslab(x), k, int8=True), 4)
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 2e-2

@@ -53,6 +53,7 @@ def session():
             num_heads=(1, 2, 5, 8), decoder_hidden=32,
         ),
         landmark_widths=(8, 12, 16, 24),
+        landmark_trunk="residual",
     )
 
 
@@ -182,6 +183,7 @@ def test_swap_e2e_stitching_retargeting_halfres(media, tmp_path):
             num_heads=(1, 2, 5, 8), decoder_hidden=32,
         ),
         landmark_widths=(8, 12, 16, 24),
+        landmark_trunk="residual",
     )
     assert session.stitching_params is not None
     assert session.model_cfg.warping.dense_motion_scale == 2
@@ -209,6 +211,7 @@ def test_relative_motion_flag_rejected():
                 num_heads=(1, 2, 5, 8), decoder_hidden=32,
             ),
             landmark_widths=(8, 12, 16, 24),
+            landmark_trunk="residual",
         )
 
 
