@@ -20,6 +20,10 @@ class AppearanceConfig:
     reshape_depth: int = 16
     num_resblocks: int = 6
     int8_conv: bool = False  # W8A8 packed volume chain (flag_int8)
+    # 3D resblock chain layout (implementation-only, identical param tree):
+    # "packed" = pack_hw2 space-to-depth; "zdense" = d-major z-slab with
+    # block-banded dense 2D convs (conv3d.conv3d_zdense — exact numerics)
+    conv3d_impl: str = "packed"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +95,9 @@ class SwapConfig:
     n_blocks: int = 7  # adaptive 2D blocks (transfer_model2)
     n_resblocks_3d: int = 6
     int8_conv: bool = False  # W8A8 adaptive convs (see SpadeConfig.int8_conv)
+    # layout of the swap AND refine 3D resblock chains (they share a volume;
+    # see AppearanceConfig.conv3d_impl for the values)
+    conv3d_impl: str = "packed"
 
 
 @dataclasses.dataclass(frozen=True)

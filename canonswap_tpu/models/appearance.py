@@ -31,6 +31,17 @@ class AppearanceFeatureExtractor(nn.Module):
         x = nn.Conv(c.max_features, (1, 1), name="second")(x)
 
         b, h, w, _ = x.shape
+        if c.conv3d_impl == "zdense":
+            # the 2D feature IS the c-major slab (torch channel split is
+            # C-outer/D-inner) — one channel permute to the d-major z-slab
+            # and the chain runs as block-banded dense convs
+            from canonswap_tpu.nn.conv3d import cslab_to_zslab, from_zslab
+
+            x = cslab_to_zslab(x, c.reshape_depth)
+            for i in range(c.num_resblocks):
+                x = ResBlock3d(name=f"res3d_{i}", zslab=c.reshape_depth,
+                               int8=c.int8_conv)(x, train)
+            return from_zslab(x, c.reshape_depth)
         x = x.reshape(b, h, w, c.reshape_channel, c.reshape_depth)
         x = x.transpose(0, 4, 1, 2, 3)  # (B, D, H, W, C)
 

@@ -30,12 +30,13 @@ class SPADEDecoder(nn.Module):
             x = SPADEResnetBlock(2 * ic, 2 * ic, sn=sn, int8=q,
                                  name=f"G_middle_{i}")(x, seg)
         # int8 is resolution-aware: it wins on the 64^2 middles (37.5 ->
-        # 24.9 ms/16f) but is a wash at 128^2 (up_0 18.1 vs 18.6) and a
-        # REGRESSION at 256^2 (up_1 31.6 -> 41.5 — quantize traffic beats
-        # the MXU saving; tools/profile_r4.jsonl spade_up*), so the up
-        # blocks always run exact bf16: faster AND closer to exact.
+        # 24.9 ms/16f) and — since round 5's XLA-W8A8 re-route (ops/qconv) —
+        # on the 128^2 up_0 (q_c0_128_512_256: 3.22 vs 6.13 ms bf16,
+        # tools/profile_r5.jsonl); still a REGRESSION at 256^2 (up_1
+        # 31.6 -> 41.5 — quantize traffic beats the MXU saving), so up_1
+        # stays exact bf16: faster AND closer to exact.
         x = nearest_upsample(x, (2, 2))
-        x = SPADEResnetBlock(2 * ic, ic, sn=sn, int8=False,
+        x = SPADEResnetBlock(2 * ic, ic, sn=sn, int8=q,
                              norm_scale=c.norm_scale, name="up_0")(x, seg)
         x = nearest_upsample(x, (2, 2))
         x = SPADEResnetBlock(ic, c.out_channels, sn=sn, int8=False,

@@ -83,10 +83,12 @@ class SwapModule(nn.Module):
     ):
         """volume: (B, D, H, W, C); id_latent: (B, latent_dim).
 
-        ``packed_out=True`` returns the pack_hw2 layout (B, D, H/2, W/2, 4C)
-        so a packed consumer (RefineModule ``packed_in``) skips the
-        unpack->pack round trip at the module boundary (each shuffle of the
-        67 MB volume costs ~2-4 ms/16f — tools/profile_r4.jsonl)."""
+        ``packed_out=True`` returns the 3D chain's NATIVE layout — pack_hw2
+        (B, D, H/2, W/2, 4C) for conv3d_impl="packed", the d-major z-slab
+        (B, H, W, D*C) for "zdense" — so the matching consumer (RefineModule
+        ``packed_in`` under the same config) skips the layout round trip at
+        the module boundary (each shuffle of the 67 MB volume costs
+        ~2-4 ms/16f — tools/profile_r4.jsonl)."""
         d = volume.shape[1]
         x = volume_to_2d(volume)  # (B, H, W, C*D)
         cd = x.shape[-1]
@@ -97,14 +99,25 @@ class SwapModule(nn.Module):
                 name=f"bottleneck2d_{i}"
             )(x, id_latent)
             masks.append(mask)
-        from canonswap_tpu.nn.conv3d import twod_to_packed, unpack_hw2
+        zd = self.cfg.conv3d_impl == "zdense"
+        if zd:
+            from canonswap_tpu.nn.conv3d import cslab_to_zslab, from_zslab
 
-        x = twod_to_packed(x, d)
-        for i in range(self.cfg.n_resblocks_3d):
-            x = ResBlock3d(name=f"res3d_{i}", packed=True,
-                           int8=self.cfg.int8_conv)(x, train)
-        if not packed_out:
-            x = unpack_hw2(x)
+            x = cslab_to_zslab(x, d)
+            for i in range(self.cfg.n_resblocks_3d):
+                x = ResBlock3d(name=f"res3d_{i}", zslab=d,
+                               int8=self.cfg.int8_conv)(x, train)
+            if not packed_out:
+                x = from_zslab(x, d)
+        else:
+            from canonswap_tpu.nn.conv3d import twod_to_packed, unpack_hw2
+
+            x = twod_to_packed(x, d)
+            for i in range(self.cfg.n_resblocks_3d):
+                x = ResBlock3d(name=f"res3d_{i}", packed=True,
+                               int8=self.cfg.int8_conv)(x, train)
+            if not packed_out:
+                x = unpack_hw2(x)
         if return_mask:
             return x, masks
         return x

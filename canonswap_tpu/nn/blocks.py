@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from canonswap_tpu.nn.conv3d import Conv3D
+from canonswap_tpu.nn.conv3d import Conv3D, ZSlabConv3D
 from canonswap_tpu.ops.resize import (
     avg_pool, conv3x3_on_nearest_upsample, nearest_upsample)
 
@@ -147,14 +147,38 @@ class ResBlock3d(nn.Module):
     With ``packed=True`` the block runs on a pack_hw2 (B,D,H/2,W/2,4C) layout
     end-to-end (exact numerics, ~4x MXU fill for the 32-channel volume
     chains; see conv3d.pack_hw2).  Param tree is identical either way: norms
-    see a (...,4,C) view so their params stay C-sized."""
+    see a (...,4,C) view so their params stay C-sized.
+
+    With ``zslab=depth`` the block instead runs on the d-major z-slab layout
+    (B, H, W, D*C) via :func:`conv3d.conv3d_zdense` — one dense block-banded
+    2D conv per conv3d (~5.6x the true MACs but in the 512-channel shape
+    class the MXU runs >2x faster; see conv3d_zdense).  Norms see a
+    (..., D, C) view, so stats/params match the volume form exactly."""
 
     kernel: int = 3
     packed: bool = False
+    zslab: int = 0  # depth D when the input is a (B,H,W,D*C) z-slab
     int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.zslab:
+            d = self.zslab
+            c = x.shape[-1] // d
+            q = self.int8 and not train
+
+            def bn(h, name):
+                m = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name=name)
+                return m(h.reshape(*h.shape[:-1], d, c)).reshape(h.shape)
+
+            h = bn(x, "BatchNorm_0")
+            h = nn.relu(h)
+            h = ZSlabConv3D(c, self.kernel, int8=q, name="Conv_0")(h)
+            h = bn(h, "BatchNorm_1")
+            h = nn.relu(h)
+            h = ZSlabConv3D(c, self.kernel, int8=q, name="Conv_1")(h)
+            return x + h
         c = x.shape[-1] // (4 if self.packed else 1)
         k = (self.kernel,) * 3
 
@@ -183,10 +207,13 @@ class ResBlock3dLeakGN(nn.Module):
     features: int
     negative_slope: float = 0.01
     packed: bool = False  # pack_hw2 layout in/out (see ResBlock3d)
+    zslab: int = 0  # depth D when the input is a (B,H,W,D*C) z-slab
     int8: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.zslab:
+            return self._zslab(x)
         cin = x.shape[-1] // (4 if self.packed else 1)
 
         def gn(h, name):
@@ -219,6 +246,36 @@ class ResBlock3dLeakGN(nn.Module):
         h = nn.leaky_relu(h, self.negative_slope)
         h = Conv3D(self.features, (3, 3, 3), name="conv2",
                    packed_io=self.packed, int8=self.int8)(h)
+        h = gn(h, "gn2")
+        h = h + short
+        return nn.leaky_relu(h, self.negative_slope)
+
+    def _zslab(self, x):
+        """d-major z-slab form (B, H, W, D*C): conv3d via conv3d_zdense,
+        GroupNorm on a (..., D, C) view — identical stats/params to the
+        volume form (stats per (b, group) over (H, W, D))."""
+        d = self.zslab
+        cin = x.shape[-1] // d
+
+        def gn(h, name):
+            m = nn.GroupNorm(num_groups=min(32, self.features),
+                             epsilon=1e-5, name=name)
+            return m(h.reshape(*h.shape[:-1], d, self.features)
+                     ).reshape(h.shape)
+
+        if cin == self.features:
+            short = x
+        else:
+            b, hh, ww, _ = x.shape
+            short = nn.Conv(
+                self.features, (1, 1, 1), padding="VALID", name="shortcut"
+            )(x.reshape(b, hh, ww, d, cin)).reshape(
+                b, hh, ww, d * self.features)
+        h = ZSlabConv3D(self.features, int8=self.int8, in_features=cin,
+                        name="conv1")(x)
+        h = gn(h, "gn1")
+        h = nn.leaky_relu(h, self.negative_slope)
+        h = ZSlabConv3D(self.features, int8=self.int8, name="conv2")(h)
         h = gn(h, "gn2")
         h = h + short
         return nn.leaky_relu(h, self.negative_slope)

@@ -294,6 +294,23 @@ def from_zslab(x: jax.Array, depth: int) -> jax.Array:
     return x.reshape(b, h, w, depth, dc // depth).transpose(0, 3, 1, 2, 4)
 
 
+def cslab_to_zslab(x: jax.Array, depth: int) -> jax.Array:
+    """c-major 2D slab (volume_to_2d order, k = c*D + d) -> d-major zslab
+    (k = d*C + c): a channel-axis permute of the (B, H, W, C*D) tensor."""
+    b, h, w, cd = x.shape
+    c = cd // depth
+    return x.reshape(b, h, w, c, depth).transpose(0, 1, 2, 4, 3).reshape(
+        b, h, w, cd)
+
+
+def zslab_to_cslab(x: jax.Array, depth: int) -> jax.Array:
+    """Inverse of :func:`cslab_to_zslab`."""
+    b, h, w, dc = x.shape
+    c = dc // depth
+    return x.reshape(b, h, w, depth, c).transpose(0, 1, 2, 4, 3).reshape(
+        b, h, w, dc)
+
+
 def conv3d_zdense(xs: jax.Array, kernel: jax.Array,
                   bias: jax.Array | None = None,
                   int8: bool = False) -> jax.Array:
@@ -327,6 +344,34 @@ def conv3d_zdense(xs: jax.Array, kernel: jax.Array,
     if bias is not None:
         y = y + jnp.tile(bias, depth)
     return y
+
+
+class ZSlabConv3D(nn.Module):
+    """Stride-1 SAME 3D conv on a d-major z-slab (B, H, W, D*C) input via
+    :func:`conv3d_zdense`.  Param names/shapes are identical to
+    :class:`Conv3D` (kernel in the original (kd,kh,kw,Cin,Cout) checkpoint
+    layout), so a module tree can switch layouts without re-initialising."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    int8: bool = False
+    in_features: int = 0  # Cin; defaults to features (the resblock chains)
+
+    @nn.compact
+    def __call__(self, x):
+        # Cin from the slab width alone is ambiguous (D*C), so it is pinned
+        # statically: either passed, or Cin == Cout (the volume resblocks).
+        cin = self.in_features or self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size,) * 3 + (cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return conv3d_zdense(x, kernel, bias, int8=self.int8)
 
 
 class Conv3D(nn.Module):

@@ -78,16 +78,16 @@ def int8_worthwhile(x: jax.Array) -> bool:
 
 
 def _pallas_qconv_ok(x: jax.Array, kernel: jax.Array) -> bool:
-    """Shapes where the VMEM-resident fused W8A8 Pallas kernel beats the
-    bf16 XLA conv (measured 3.32 vs 5.31 ms at 128ch/256^2, B=16 —
-    tools/profile_r3.jsonl qc_pallas_256): large spatial (the XLA W8A8
-    quantize round-trips dominate there), real channel width, stride-1
-    SAME odd kernels only (the kernel's halo DMA contract).
+    """Shapes where the VMEM-resident fused W8A8 Pallas kernel is allowed.
 
-    Measured (B=16, clean chip, scan-slope): 128^2 128->512: 0.32 ms vs
-    1.81 XLA-W8A8 vs 5.57 bf16; 256^2 128->128: 3.29 vs 4.24 bf16.  At
-    64^2 XLA's conv is already at noise level — no win, stay off."""
-    if os.environ.get("CANONSWAP_PALLAS_QCONV", "1") != "1":
+    OFF by default since round 5: the round-3 wins (3.29 vs 4.24 bf16 at
+    256^2/128ch) no longer reproduce — the round-5 probe campaign measured
+    the Pallas form LOSING to the plain XLA W8A8 conv at every routed shape
+    (tools/profile_r5.jsonl: 256^2 128->512 9.33 vs 5.64; 256^2 128->128
+    3.7 vs 2.65; 128^2 512->256 4.36 vs 3.22, B=16 scan-slope).  The kernel
+    and its parity tests remain; set CANONSWAP_PALLAS_QCONV=1 to re-enable
+    if a future toolchain shifts the balance back."""
+    if os.environ.get("CANONSWAP_PALLAS_QCONV", "0") != "1":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -86,8 +86,10 @@ class CanonSwapCore:
     @functools.cached_property
     def refine(self) -> RefineModule:
         # the refine chain runs on the same volume as the swap 3D chain, so
-        # it shares the swap int8 flag
-        return RefineModule(int8=self.cfg.swap.int8_conv)
+        # it shares the swap int8 flag and chain layout
+        return RefineModule(int8=self.cfg.swap.int8_conv,
+                            conv3d_impl=self.cfg.swap.conv3d_impl,
+                            slab_channels=self.cfg.appearance.reshape_channel)
 
     @functools.cached_property
     def stitching(self):

@@ -45,8 +45,19 @@ def loss_fn(core: C.CanonSwapCore, params, frames, source_id):
     kp_prior = jnp.mean(motion["exp"] ** 2) + jnp.mean(
         jnp.maximum(jnp.abs(motion["kp"]) - 1.0, 0.0) ** 2
     )
-    loss = l1 + 0.1 * kp_prior
-    return loss, {"loss": loss, "l1": l1, "kp_prior": kp_prior}
+    # range prior on the POSED keypoints the warp actually consumes
+    # (x_t = s*(kp@R + exp) + t): scale/translation can push them outside
+    # the [-1, 1] sampling grid even when kp itself is bounded — and an
+    # out-of-range warp zero-pads, collapsing the reconstruction (the warp's
+    # windowed fast path also keys on in-range motion).  Hinge at 0.9.
+    x_can = motion["scale"][..., None] * motion["kp"]
+    range_prior = (
+        jnp.mean(jnp.maximum(jnp.abs(motion["x_t"]) - 0.9, 0.0) ** 2)
+        + jnp.mean(jnp.maximum(jnp.abs(x_can) - 0.9, 0.0) ** 2)
+    )
+    loss = l1 + 0.1 * kp_prior + range_prior
+    return loss, {"loss": loss, "l1": l1, "kp_prior": kp_prior,
+                  "range_prior": range_prior}
 
 
 def train_step(

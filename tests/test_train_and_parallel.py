@@ -37,11 +37,15 @@ def test_train_step_decreases_loss(core):
 
     step = jax.jit(lambda s, f, i: T.train_step(core, tx, s, f, i))
     losses = []
-    for _ in range(3):
+    # 5 steps, not 3: the posed-keypoint range prior (train.loss_fn) spikes
+    # transiently around step 2 (the first l1 gradient pushes scale/trans
+    # out of the sampling grid before the hinge pulls them back) and settles
+    # to ~0 by step 5 — the total must still decrease end-to-end
+    for _ in range(5):
         state, metrics = step(state, frames, sid)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
-    assert int(state.step) == 3
+    assert int(state.step) == 5
 
 
 def test_sharded_train_step_runs_on_mesh(core):

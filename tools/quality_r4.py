@@ -66,6 +66,7 @@ def synth_frames(step: int, batch: int, s: int) -> jax.Array:
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     batch = int(os.environ.get("CANONSWAP_QTRAIN_BATCH", "4"))
+    lr = float(os.environ.get("CANONSWAP_QTRAIN_LR", "2e-4"))
     s = CANONICAL.input_size
     log = open(LOG, "a")
 
@@ -85,7 +86,7 @@ def main():
     core = C.CanonSwapCore(CANONICAL)  # exact, packed warp (grad-safe)
     params = core.init_params_host(jax.random.PRNGKey(0))
     params = jax.device_put(params, jax.devices()[0])
-    tx = T.make_optimizer(lr=2e-4)
+    tx = T.make_optimizer(lr=lr)
     state = T.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step_fn = jax.jit(functools.partial(T.train_step, core, tx))
     sid = jnp.ones((batch, CANONICAL.swap.latent_dim), jnp.float32)
