@@ -79,7 +79,8 @@ def main(argv=None):
 
     from canonswap_tpu.pipelines.session import FaceSwapSession
 
-    session = FaceSwapSession(inference_cfg, crop_cfg)
+    session = FaceSwapSession(inference_cfg, crop_cfg,
+                              fast_init=args.fast_init)
     if ns.mode == "swap":
         from canonswap_tpu.pipelines import swap_e2e
 

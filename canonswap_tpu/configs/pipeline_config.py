@@ -60,6 +60,10 @@ class ArgumentConfig:
     warp_impl: str = "auto"  # auto|packed|pallas|pallas_quant (warp backend)
     # sanitizer: jax_debug_nans + a NaN/inf gate on every swapped batch
     debug_nans: bool = False
+    # benchmark/demo mode: zero-init weights via eval_shape (seconds) instead
+    # of running the random initializers (~15 min on one host core); use with
+    # --checkpoint for real outputs, alone for wall-clock pipeline timing
+    fast_init: bool = False
 
 
 @dataclasses.dataclass

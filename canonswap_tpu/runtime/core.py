@@ -134,8 +134,45 @@ class CanonSwapCore:
         """``init_params`` via a Pallas-free twin config — safe to run on
         any device/backend (flax init executes the forward, and Pallas
         kernels only lower on TPU).  Returns the identical parameter tree
-        with identical values (same rng, same modules-with-params)."""
-        return CanonSwapCore(pallas_free_twin(self.cfg)).init_params(rng)
+        with identical values (same rng, same modules-with-params).
+
+        Results are memoised on disk (init is deterministic in (cfg, rng)
+        but costs ~15 min of eager CPU at CANONICAL scale on this host —
+        the dominant startup cost of every tool and of bench.py).  The
+        cache key covers every config field that shapes the param tree;
+        implementation-only switches (conv3d_impl, int8/warp backends) are
+        param-tree-invariant by design and tested as such, but are keyed
+        anyway via the twin-config repr for safety."""
+        import hashlib
+        import os
+
+        import numpy as np
+
+        twin = pallas_free_twin(self.cfg)
+        key = hashlib.sha1(
+            f"{twin!r}|{np.asarray(rng).tolist()}".encode()).hexdigest()[:16]
+        cache_dir = os.environ.get("CANONSWAP_INIT_CACHE",
+                                   "/tmp/canonswap_init_cache")
+        path = os.path.join(cache_dir, f"params_{key}.npz")
+        struct = jax.eval_shape(CanonSwapCore(twin).init_params, rng)
+        leaves, treedef = jax.tree_util.tree_flatten(struct)
+        if os.path.exists(path):
+            with np.load(path) as z:
+                arrs = [z[f"a{i}"] for i in range(len(leaves))]
+            if all(a.shape == l.shape and a.dtype == l.dtype
+                   for a, l in zip(arrs, leaves)):
+                return jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(a) for a in arrs])
+        params = CanonSwapCore(twin).init_params(rng)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            flat = jax.tree_util.tree_leaves(params)
+            np.savez(path + f".tmp{os.getpid()}",
+                     **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
+            os.replace(path + f".tmp{os.getpid()}.npz", path)
+        except OSError:
+            pass  # cache is best-effort
+        return params
 
 
 # ---------------------------------------------------------------------------

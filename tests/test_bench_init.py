@@ -118,3 +118,24 @@ def test_dense_motion_rejects_too_small_field():
     # scale 2 (the sanctioned fast-bundle lever) still passes
     m2 = DenseMotionNetwork(num_kp=21, field_scale=2)
     jax.eval_shape(m2.init, jax.random.PRNGKey(0), feat, kp, kp)
+
+
+def test_init_params_host_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """init_params_host memoises to disk (the ~15-min CANONICAL init is the
+    dominant startup cost of bench.py and every tool); the cached tree must
+    be value-identical and config-keyed (different cfg -> different entry)."""
+    import numpy as np
+
+    monkeypatch.setenv("CANONSWAP_INIT_CACHE", str(tmp_path))
+    core = C.CanonSwapCore(TINY)
+    p1 = core.init_params_host(jax.random.PRNGKey(0))
+    assert len(list(tmp_path.glob("params_*.npz"))) == 1
+    p2 = core.init_params_host(jax.random.PRNGKey(0))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p1, p2)
+    # a param-shaping config change misses the cache instead of aliasing
+    other = dataclasses.replace(
+        TINY, swap=dataclasses.replace(TINY.swap, latent_dim=8))
+    C.CanonSwapCore(other).init_params_host(jax.random.PRNGKey(0))
+    assert len(list(tmp_path.glob("params_*.npz"))) == 2
