@@ -130,7 +130,13 @@ class FaceSwapSession:
 
         # generator core
         self.core = C.CanonSwapCore(model_cfg)
-        self.params = _zeros_like_init(self.core.init_params)(keys[0])
+        if fast_init:
+            self.params = _zeros_like_init(self.core.init_params)(keys[0])
+        else:
+            # init_params_host: identical tree, but disk-memoised (the eager
+            # random init is ~15 min of host compute at CANONICAL scale) and
+            # Pallas-free (safe on any backend)
+            self.params = self.core.init_params_host(keys[0])
         if self.inference_cfg.checkpoint:
             self.load_checkpoint(self.inference_cfg.checkpoint)
 

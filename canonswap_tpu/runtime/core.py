@@ -47,13 +47,15 @@ def pallas_free_twin(cfg: CanonSwapModelConfig) -> CanonSwapModelConfig:
     rc=1 regression."""
     return dataclasses.replace(
         cfg,
-        appearance=dataclasses.replace(cfg.appearance, int8_conv=False),
+        appearance=dataclasses.replace(
+            cfg.appearance, int8_conv=False, conv3d_impl="packed"),
         warping=dataclasses.replace(
             cfg.warping, warp_impl="packed",
             dense_motion=dataclasses.replace(
                 cfg.warping.dense_motion, int8_conv=False)),
         spade=dataclasses.replace(cfg.spade, int8_conv=False),
-        swap=dataclasses.replace(cfg.swap, int8_conv=False),
+        swap=dataclasses.replace(
+            cfg.swap, int8_conv=False, conv3d_impl="packed"),
     )
 
 
