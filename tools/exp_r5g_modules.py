@@ -67,6 +67,10 @@ def stages():
         m = RefineModule(conv3d_impl="zdense", slab_channels=C, int8=True)
         yield "refine_zdense_int8", (
             lambda p, v: m.apply(p, v), (ref_p, vol))
+    if want("refine_packed_int8"):
+        m = RefineModule(int8=True)
+        yield "refine_packed_int8", (
+            lambda p, v: m.apply(p, v), (ref_p, vol))
 
     lat = jnp.ones((B, CANONICAL.swap.latent_dim), DT)
     with jax.default_device(jax.devices("cpu")[0]):
